@@ -1,0 +1,133 @@
+"""YAML scene/config loader (SURVEY.md §2 component 23, §5.6).
+
+Schema (see configs/*.yaml for the five SPEC configs, BASELINE.json:7-11):
+
+    camera:   {width, height, fov, position, target?, up?}
+    settings: {any RenderSettings field}
+    objects:  [{node: <node>, material: <mat>, engine?: analytic|sdf|mesh}]
+    lights:   [{type: point|directional, ...}]
+    animation?: {type: orbit, frames, radius, height}
+
+    <node>: {type: sphere|plane|box|mandelbulb|mesh |
+                   union|intersect|subtract|smooth_union|smooth_intersect|
+                   smooth_subtract, ...}
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import numpy as np
+
+from surfjax import api
+from surfjax.core.types import RenderSettings
+
+
+def _node(d: dict) -> api.SceneNode:
+    t = d["type"]
+    if t == "sphere":
+        return api.Sphere(tuple(d["center"]), float(d["radius"]))
+    if t == "plane":
+        return api.Plane(tuple(d["normal"]), float(d.get("offset", 0.0)))
+    if t == "box":
+        return api.Box(tuple(d["center"]), tuple(d["half_extents"]))
+    if t == "mandelbulb":
+        return api.Mandelbulb(tuple(d.get("center", (0, 0, 0))),
+                              float(d.get("scale", 1.0)),
+                              int(d.get("power", 8)),
+                              int(d.get("iterations", 8)))
+    if t == "mesh":
+        gen = d.get("generate")
+        if gen == "octasphere":
+            from surfjax.meshgen import octasphere
+            v, f = octasphere(int(d.get("subdivisions", 2)))
+        elif "obj" in d:
+            v, f = load_obj(d["obj"])
+        else:
+            raise ValueError("mesh node needs generate: or obj:")
+        v = np.asarray(v, np.float32) * float(d.get("scale", 1.0))
+        v = v + np.asarray(d.get("translate", (0, 0, 0)), np.float32)
+        return api.TriangleMesh(vertices=v, faces=f)
+    if t in ("union", "intersect", "subtract"):
+        fn = {"union": api.union, "intersect": api.intersect,
+              "subtract": api.subtract}[t]
+        return fn(_node(d["a"]), _node(d["b"]))
+    if t in ("smooth_union", "smooth_intersect", "smooth_subtract"):
+        fn = {"smooth_union": api.smooth_union,
+              "smooth_intersect": api.smooth_intersect,
+              "smooth_subtract": api.smooth_subtract}[t]
+        return fn(_node(d["a"]), _node(d["b"]), float(d["k"]))
+    raise ValueError(f"unknown node type {t!r}")
+
+
+def _material(d: dict) -> api.Material:
+    t = d.get("type", "lambert")
+    kw = {k: v for k, v in d.items() if k != "type"}
+    for key in ("albedo", "specular_color"):
+        if key in kw:
+            kw[key] = tuple(kw[key])
+    if t == "lambert":
+        return api.Material.lambert(**kw)
+    if t == "blinn_phong":
+        return api.Material.blinn_phong(**kw)
+    raise ValueError(f"unknown material type {t!r}")
+
+
+def load_obj(path: str):
+    """Minimal OBJ loader (v / f lines, triangulates fans)."""
+    verts, faces = [], []
+    with open(path) as fh:
+        for line in fh:
+            parts = line.split()
+            if not parts:
+                continue
+            if parts[0] == "v":
+                verts.append([float(x) for x in parts[1:4]])
+            elif parts[0] == "f":
+                idx = [int(p.split("/")[0]) - 1 for p in parts[1:]]
+                for k in range(1, len(idx) - 1):
+                    faces.append([idx[0], idx[k], idx[k + 1]])
+    return (np.asarray(verts, np.float32), np.asarray(faces, np.int32))
+
+
+def load_config(path: str):
+    """-> (scene, camera, settings, extras dict)."""
+    import yaml
+    with open(path) as fh:
+        cfg = yaml.safe_load(fh)
+
+    scene = api.Scene()
+    for od in cfg.get("objects", []):
+        scene.add(_node(od["node"]),
+                  _material(od.get("material", {})),
+                  engine=od.get("engine"))
+    for ld in cfg.get("lights", []):
+        t = ld.get("type", "point")
+        if t == "point":
+            scene.add_light(api.PointLight(tuple(ld["position"]),
+                                           tuple(ld.get("color", (1, 1, 1))),
+                                           float(ld.get("radius", 0.0))))
+        else:
+            scene.add_light(api.DirectionalLight(
+                tuple(ld["direction"]), tuple(ld.get("color", (1, 1, 1)))))
+
+    c = cfg["camera"]
+    camera = api.Camera.pinhole(int(c["width"]), int(c["height"]),
+                                float(c.get("fov", 45.0)),
+                                position=tuple(c.get("position", (0, 0, 0))),
+                                target=(tuple(c["target"])
+                                        if "target" in c else None),
+                                up=tuple(c.get("up", (0, 1, 0))))
+
+    s = cfg.get("settings", {})
+    valid = {f.name for f in dataclasses.fields(RenderSettings)}
+    unknown = set(s) - valid
+    if unknown:
+        raise ValueError(f"unknown settings: {sorted(unknown)}")
+    if "background" in s:
+        s["background"] = tuple(s["background"])
+    settings = RenderSettings(**s)
+
+    extras = {k: cfg[k] for k in ("animation", "fit") if k in cfg}
+    return scene, camera, settings, extras

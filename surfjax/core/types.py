@@ -1,0 +1,65 @@
+"""Shared value types: RenderSettings, FrameBuffers, Hit.
+
+SURVEY.md §5.6 (config system — everything hashable so it participates in
+`jit` static args cleanly) and §2 component 15 (G-buffer output).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, NamedTuple, Optional, Tuple
+
+import jax
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderSettings:
+    """Static render configuration. Hashable: safe as a jit static arg."""
+    # trace
+    max_steps: int = 256          # bounded march trip count [BASELINE.json:2]
+    t_min: float = 1e-3
+    t_max: float = 1e4
+    hit_eps: float = 1e-3         # SDF hit threshold
+    normal_eps: float = 5e-4      # FD-normal tetrahedron offset
+    normals: str = "auto"         # "auto" (analytic where possible) | "fd"
+    # secondary rays
+    shadow_steps: int = 64        # soft-shadow march trip count
+    shadows: bool = True
+    soft_shadows: bool = False
+    soft_shadow_k: float = 8.0    # SDF penumbra sharpness
+    soft_shadow_tmin: float = 0.02
+    shadow_eps: float = 1e-3      # offset along normal for secondary origins
+    ao: bool = False
+    ao_samples: int = 5           # taps of the fixed-direction AO probe
+    ao_radius: float = 0.5
+    ao_strength: float = 1.0
+    # shading
+    background: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    # kernel/backend selection: "jnp" (pure jax.numpy twin) | "pallas"
+    backend: str = "jnp"
+    # Pallas tiling: rays per tile block = tile_rows * 128
+    tile_rows: int = 64
+
+    def with_(self, **kw) -> "RenderSettings":
+        return dataclasses.replace(self, **kw)
+
+
+class FrameBuffers(NamedTuple):
+    """Per-frame output G-buffer (component 15). All (H, W[, C]) float32."""
+    rgb: Any          # (H, W, 3)
+    depth: Any        # (H, W)   hit distance t (BIG on miss)
+    normal: Any       # (H, W, 3)
+    hit: Any          # (H, W)   1.0 where a surface was hit
+    obj_id: Any       # (H, W)   int32 object index (-1 on miss)
+
+
+class Hit(NamedTuple):
+    """Result of scene intersection for a batch of rays (flat shapes)."""
+    t: Any            # (N,) float32, BIG on miss
+    obj_id: Any       # (N,) int32, -1 on miss
+    leaf_id: Any      # (N,) int32 global leaf index (analytic normal lookup)
+    mask: Any         # (N,) bool
+
+
+def tree_f32(x):
+    return jax.tree.map(lambda a: a.astype("float32") if hasattr(a, "astype") else a, x)

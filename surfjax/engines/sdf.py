@@ -1,0 +1,355 @@
+"""SDF engine: scene SDF evaluation + bounded sphere tracer (jnp twin).
+
+SURVEY.md §2 components 5 (SDF engine), 6 (sphere tracer), 12 (soft
+shadows), 13 (AO probes). BASELINE.json:5 "bounded sphere-tracing for SDFs
+as a masked fixed-trip loop", :9 "Mandelbulb / smooth-min blends, soft
+shadows + ambient occlusion".
+
+This module is the pure-jax.numpy *twin* of the Pallas kernels
+(surfjax/kernels/) — SURVEY.md §4.3 requires every kernel to have a jnp twin
+for bitwise parity testing. The SDF tape is statically unrolled from the
+SceneIR, so XLA sees straight-line vector code.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from surfjax.core.math import (
+    BIG, F32, clamp, mix, saturate, vdot, vnormalize, vsub,
+)
+from surfjax.core.scene_compile import (
+    LEAF_BOX, LEAF_MANDELBULB, LEAF_PLANE, LEAF_SPHERE, ObjectIR,
+)
+from surfjax.api import (
+    OP_LEAF, OP_UNION, OP_INTERSECT, OP_SUBTRACT,
+    OP_SMOOTH_UNION, OP_SMOOTH_INTERSECT, OP_SMOOTH_SUBTRACT,
+)
+
+
+# ---------------------------------------------------------------------------
+# Leaf SDFs
+# ---------------------------------------------------------------------------
+
+def sdf_sphere(prm, p):
+    c = (prm[0], prm[1], prm[2])
+    q = vsub(p, c)
+    return jnp.sqrt(vdot(q, q)) - prm[3]
+
+
+def sdf_plane(prm, p):
+    n = (prm[0], prm[1], prm[2])
+    return vdot(n, p) - prm[3]
+
+
+def sdf_box(prm, p):
+    c = (prm[0], prm[1], prm[2])
+    h = (prm[3], prm[4], prm[5])
+    qx = jnp.abs(p[0] - c[0]) - h[0]
+    qy = jnp.abs(p[1] - c[1]) - h[1]
+    qz = jnp.abs(p[2] - c[2]) - h[2]
+    ox = jnp.maximum(qx, F32(0.0))
+    oy = jnp.maximum(qy, F32(0.0))
+    oz = jnp.maximum(qz, F32(0.0))
+    outside = jnp.sqrt((ox * ox + oy * oy) + oz * oz)
+    inside = jnp.minimum(jnp.maximum(qx, jnp.maximum(qy, qz)), F32(0.0))
+    return outside + inside
+
+
+def sdf_mandelbulb(prm, p, power: int, iterations: int):
+    """Power-8 Mandelbulb distance estimator (component 5).
+
+    Specialized to power == 8 so all powers reduce to int-multiplies and one
+    sqrt (m^3.5 = m*m*m*sqrt(m); r^8 = m^4), leaving only acos/atan2/sin/cos
+    as transcendentals (which get the tolerance carve-out of SURVEY.md §4.1
+    for chaotic pixels).
+    """
+    if power != 8:
+        raise NotImplementedError("Mandelbulb: only power=8 is specialized")
+    c = (prm[0], prm[1], prm[2])
+    scale = prm[3]
+    bailout2 = prm[4] * prm[4] * F32(16.0)  # (2*bailout)^2-ish guard; see note
+    inv_s = F32(1.0) / scale
+    px = (p[0] - c[0]) * inv_s
+    py = (p[1] - c[1]) * inv_s
+    pz = (p[2] - c[2]) * inv_s
+
+    wx, wy, wz = px, py, pz
+    m = (wx * wx + wy * wy) + wz * wz
+    dz = jnp.ones_like(m)
+    escaped = m > bailout2
+
+    for _ in range(iterations):
+        active = ~escaped
+        m3 = (m * m) * m
+        dz_new = F32(8.0) * (m3 * jnp.sqrt(m)) * dz + F32(1.0)
+        r = jnp.sqrt(m)
+        # guard: y/r in [-1, 1]
+        b = F32(8.0) * jnp.arccos(clamp(wy / r, F32(-1.0), F32(1.0)))
+        a = F32(8.0) * jnp.arctan2(wx, wz)
+        r8 = (m * m) * (m * m)
+        sb = jnp.sin(b)
+        wx_new = px + r8 * (sb * jnp.sin(a))
+        wy_new = py + r8 * jnp.cos(b)
+        wz_new = pz + r8 * (sb * jnp.cos(a))
+        wx = jnp.where(active, wx_new, wx)
+        wy = jnp.where(active, wy_new, wy)
+        wz = jnp.where(active, wz_new, wz)
+        dz = jnp.where(active, dz_new, dz)
+        m = jnp.where(active, (wx * wx + wy * wy) + wz * wz, m)
+        escaped = escaped | (m > bailout2)
+
+    r = jnp.sqrt(m)
+    de = F32(0.25) * jnp.log(m) * r / dz
+    return de * scale
+
+
+def leaf_sdf(kind: int, prm, p, p0: int = 0, p1: int = 0):
+    if kind == LEAF_SPHERE:
+        return sdf_sphere(prm, p)
+    if kind == LEAF_PLANE:
+        return sdf_plane(prm, p)
+    if kind == LEAF_BOX:
+        return sdf_box(prm, p)
+    if kind == LEAF_MANDELBULB:
+        return sdf_mandelbulb(prm, p, p0, p1)
+    raise ValueError(f"sdf engine: unsupported leaf kind {kind}")
+
+
+# ---------------------------------------------------------------------------
+# CSG tape over SDF values (smooth-min blends: Quilez polynomial forms)
+# ---------------------------------------------------------------------------
+
+def eval_sdf(oir: ObjectIR, leaf_params, node_params, p):
+    """Object SDF at points p = (x, y, z) arrays. Statically unrolled tape."""
+    vals = []
+    for nd in oir.nodes:
+        if nd.op == OP_LEAF:
+            lf = oir.leaves[nd.leaf]
+            vals.append(leaf_sdf(lf.kind, leaf_params[lf.slot], p,
+                                 lf.p0, lf.p1))
+        elif nd.op == OP_UNION:
+            vals.append(jnp.minimum(vals[nd.a], vals[nd.b]))
+        elif nd.op == OP_INTERSECT:
+            vals.append(jnp.maximum(vals[nd.a], vals[nd.b]))
+        elif nd.op == OP_SUBTRACT:
+            vals.append(jnp.maximum(vals[nd.a], -vals[nd.b]))
+        elif nd.op == OP_SMOOTH_UNION:
+            a, b = vals[nd.a], vals[nd.b]
+            k = node_params[nd.pslot, 0]
+            h = saturate(F32(0.5) + F32(0.5) * (b - a) / k)
+            vals.append(mix(b, a, h) - k * h * (F32(1.0) - h))
+        elif nd.op == OP_SMOOTH_INTERSECT:
+            a, b = vals[nd.a], vals[nd.b]
+            k = node_params[nd.pslot, 0]
+            h = saturate(F32(0.5) - F32(0.5) * (b - a) / k)
+            vals.append(mix(b, a, h) + k * h * (F32(1.0) - h))
+        elif nd.op == OP_SMOOTH_SUBTRACT:
+            a, b = vals[nd.a], vals[nd.b]
+            k = node_params[nd.pslot, 0]
+            h = saturate(F32(0.5) - F32(0.5) * (b + a) / k)
+            vals.append(mix(a, -b, h) + k * h * (F32(1.0) - h))
+        else:
+            raise ValueError(f"unknown op {nd.op}")
+    return vals[-1]
+
+
+# ---------------------------------------------------------------------------
+# Bounded sphere tracer — jnp twin of the Pallas kernel (component 6)
+# ---------------------------------------------------------------------------
+
+def _sphere_trace_impl(oir: ObjectIR, leaf_params, node_params, o, d,
+                       t_min, t_max, max_steps: int, hit_eps: float):
+    """Masked fixed-trip bounded march with batch-level early exit.
+
+    Returns (t, hit_mask). Miss: t == BIG. The while_loop runs at most
+    `max_steps` trips but exits as soon as every ray in the batch is done —
+    the jnp analogue of the kernel's per-tile early exit
+    [BASELINE.json:5 "lane-level early-exit"].
+    """
+    eps = F32(hit_eps)
+    t0 = jnp.full_like(o[0], t_min)
+    done0 = jnp.zeros_like(o[0], dtype=bool)
+    hit0 = jnp.zeros_like(o[0], dtype=bool)
+
+    def cond(state):
+        i, _, done, _ = state
+        return (i < max_steps) & (~jnp.all(done))
+
+    def body(state):
+        i, t, done, hit = state
+        px = o[0] + t * d[0]
+        py = o[1] + t * d[1]
+        pz = o[2] + t * d[2]
+        h = eval_sdf(oir, leaf_params, node_params, (px, py, pz))
+        hit_now = h < eps
+        over = t > t_max
+        done_new = done | hit_now | over
+        t_new = jnp.where(done_new, t, t + h)
+        return i + 1, t_new, done_new, hit | (hit_now & (~done))
+
+    _, t, _, hit = jax.lax.while_loop(cond, body, (0, t0, done0, hit0))
+    t = jnp.where(hit, t, BIG)
+    return t, hit
+
+
+# ---------------------------------------------------------------------------
+# Differentiable sphere trace: implicit-function-theorem adjoint
+# (SURVEY.md §2 component 19, §3.3 hot loop #3; BASELINE.json:11
+# "gradients through the raymarcher")
+# ---------------------------------------------------------------------------
+#
+# The 256-step march defines t(θ, o, d) implicitly by f_θ(o + t·d) = 0 at the
+# hit. Instead of unrolling/checkpointing the while_loop, the adjoint is the
+# IFT at the hit point:   ∂t/∂θ = -(∂f/∂θ) / (∇f·d),
+#                         ∂t/∂o = -∇f / (∇f·d),
+#                         ∂t/∂d = -t·∇f / (∇f·d).
+# Miss lanes get zero gradient. Non-differentiable at silhouettes (∇f·d → 0);
+# the denominator is clamped — the standard, documented bias of inverse-SDF
+# methods (SURVEY.md §7 hard part 4).
+
+import functools as _functools
+
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(0, 5, 7, 8))
+def sphere_trace(oir: ObjectIR, leaf_params, node_params, o, d,
+                 t_min, t_max, max_steps: int, hit_eps: float):
+    return _sphere_trace_impl(oir, leaf_params, node_params, o, d,
+                              t_min, t_max, max_steps, hit_eps)
+
+
+def _sphere_trace_fwd(oir, leaf_params, node_params, o, d, t_min, t_max,
+                      max_steps, hit_eps):
+    t, hit = _sphere_trace_impl(oir, leaf_params, node_params, o, d,
+                                t_min, t_max, max_steps, hit_eps)
+    return (t, hit), (leaf_params, node_params, o, d, t, hit, t_max)
+
+
+def _sphere_trace_bwd(oir, t_min, max_steps, hit_eps, res, cts):
+    leaf_params, node_params, o, d, t, hit, t_max = res
+    g_t, _g_hit = cts
+    t_safe = jnp.where(hit, t, F32(0.0))
+    p = (o[0] + t_safe * d[0], o[1] + t_safe * d[1], o[2] + t_safe * d[2])
+
+    def f(lp, np_, px, py, pz):
+        return eval_sdf(oir, lp, np_, (px, py, pz))
+
+    _, vjp = jax.vjp(f, leaf_params, node_params, *p)
+    ones = jnp.ones_like(t)
+    _, _, gx, gy, gz = vjp(ones)
+    denom = (gx * d[0] + gy * d[1]) + gz * d[2]
+    # clamp |denom| away from 0 (grazing silhouettes)
+    denom = jnp.where(jnp.abs(denom) < F32(1e-4),
+                      jnp.where(denom >= F32(0.0), F32(1e-4), F32(-1e-4)),
+                      denom)
+    scale = jnp.where(hit, -g_t / denom, F32(0.0))
+    g_lp, g_np, sgx, sgy, sgz = vjp(scale)
+    g_o = (sgx, sgy, sgz)
+    g_d = (t_safe * sgx, t_safe * sgy, t_safe * sgz)
+    g_tmax = jnp.zeros_like(jnp.asarray(t_max, jnp.float32))
+    return (g_lp, g_np, g_o, g_d, g_tmax)
+
+
+sphere_trace.defvjp(_sphere_trace_fwd, _sphere_trace_bwd)
+
+
+def normal_fd(oir: ObjectIR, leaf_params, node_params, p, eps: float):
+    """4-tap tetrahedron finite-difference normal (component 8)."""
+    e = F32(eps)
+    # k0=(1,-1,-1) k1=(-1,-1,1) k2=(-1,1,-1) k3=(1,1,1)
+    s0 = eval_sdf(oir, leaf_params, node_params,
+                  (p[0] + e, p[1] - e, p[2] - e))
+    s1 = eval_sdf(oir, leaf_params, node_params,
+                  (p[0] - e, p[1] - e, p[2] + e))
+    s2 = eval_sdf(oir, leaf_params, node_params,
+                  (p[0] - e, p[1] + e, p[2] - e))
+    s3 = eval_sdf(oir, leaf_params, node_params,
+                  (p[0] + e, p[1] + e, p[2] + e))
+    nx = ((s0 - s1) - s2) + s3
+    ny = ((-s0 - s1) + s2) + s3
+    nz = ((-s0 + s1) - s2) + s3
+    return vnormalize((nx, ny, nz))
+
+
+def soft_shadow_march(sdf_fn, o, d, t_min, t_max, k: float, steps: int):
+    """Penumbra factor in [0,1] marching toward the light (component 12).
+
+    sdf_fn(p) -> scene-level SDF (min over SDF objects; analytic objects are
+    handled by the hard-occlusion path and multiplied in by the caller).
+    Classic k*h/t penumbra accumulator.
+    """
+    kf = F32(k)
+    t = jnp.full_like(o[0], t_min)
+    res = jnp.ones_like(o[0])
+    done = jnp.zeros_like(o[0], dtype=bool)
+
+    def cond(state):
+        i, _, _, done = state
+        return (i < steps) & (~jnp.all(done))
+
+    def body(state):
+        i, t, res, done = state
+        px = o[0] + t * d[0]
+        py = o[1] + t * d[1]
+        pz = o[2] + t * d[2]
+        h = sdf_fn((px, py, pz))
+        res_new = jnp.minimum(res, kf * h / t)
+        step = clamp(h, F32(1e-3), F32(0.5))
+        t_new = t + step
+        done_new = done | (res_new < F32(0.0)) | (t_new > t_max)
+        res = jnp.where(done, res, res_new)
+        t = jnp.where(done, t, t_new)
+        return i + 1, t, res, done_new
+
+    _, _, res, _ = jax.lax.while_loop(cond, body,
+                                      (0, t, res, done))
+    return saturate(res)
+
+
+# Deterministic hemisphere probe directions (component 13): a small fixed fan
+# around +z, rotated into the normal frame at run time. Host-side constants.
+_AO_DIRS = (
+    (0.0, 0.0, 1.0),
+    (0.7, 0.0, 0.7141428),
+    (-0.7, 0.0, 0.7141428),
+    (0.0, 0.7, 0.7141428),
+    (0.0, -0.7, 0.7141428),
+    (0.5, 0.5, 0.7071068),
+    (-0.5, 0.5, 0.7071068),
+    (0.5, -0.5, 0.7071068),
+    (-0.5, -0.5, 0.7071068),
+)
+
+
+def ao_probes(sdf_fn, p, n, samples: int, radius: float, strength: float):
+    """Hemisphere ambient-occlusion probes (component 13).
+
+    For each of `samples` fixed directions (rotated into the normal frame),
+    take 4 taps at increasing radius; occlusion is how far the SDF falls
+    short of the unoccluded distance. Returns ao factor in [0, 1].
+    """
+    samples = min(samples, len(_AO_DIRS))
+    # orthonormal frame (t1, t2, n) — branch on |n.y| to avoid degeneracy
+    big_y = jnp.abs(n[1]) > F32(0.9)
+    hx = jnp.where(big_y, F32(1.0), F32(0.0))
+    hy = jnp.where(big_y, F32(0.0), F32(1.0))
+    # t1 = normalize(cross(h, n)); h = (hx, hy, 0)
+    t1 = vnormalize((hy * n[2], -hx * n[2], hx * n[1] - hy * n[0]))
+    t2 = (n[1] * t1[2] - n[2] * t1[1],
+          n[2] * t1[0] - n[0] * t1[2],
+          n[0] * t1[1] - n[1] * t1[0])
+
+    occ = jnp.zeros_like(p[0])
+    rad = F32(radius)
+    for s in range(samples):
+        ax, ay, az = _AO_DIRS[s]
+        dx = (F32(ax) * t1[0] + F32(ay) * t2[0]) + F32(az) * n[0]
+        dy = (F32(ax) * t1[1] + F32(ay) * t2[1]) + F32(az) * n[1]
+        dz = (F32(ax) * t1[2] + F32(ay) * t2[2]) + F32(az) * n[2]
+        for tap in range(1, 5):
+            r = rad * F32(tap) * F32(0.25)
+            h = sdf_fn((p[0] + dx * r, p[1] + dy * r, p[2] + dz * r))
+            occ = occ + jnp.maximum(r - h, F32(0.0)) / r
+    occ = occ / F32(samples * 4)
+    return saturate(F32(1.0) - F32(strength) * occ)

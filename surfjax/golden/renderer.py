@@ -1,0 +1,692 @@
+"""Golden CPU reference renderer (SURVEY.md §2 component 21).
+
+An *independent* NumPy implementation of the renderer semantics — the
+pixel-exactness oracle (<=1 ULP shading error, BASELINE.json:5). It walks the
+`surfjax.api` scene graph itself and deliberately imports none of the JAX
+path (no surfjax.core.math, no engines, no pipeline), so a bit-level
+agreement between this module and the device renderer is meaningful evidence
+(SURVEY.md §3.5: "independent implementation is what makes <=1-ULP comparison
+meaningful").
+
+FP discipline is the shared *definition* both implementations follow:
+float32 throughout, dot products associated as ((x*x + y*y) + z*z),
+normalize = v * (1/sqrt(dot)), integer specular powers by repeated squaring.
+Deliberately boring, never optimized.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Tuple
+
+import numpy as np
+
+from surfjax import api
+from surfjax.core.types import RenderSettings
+
+F = np.float32
+BIG = np.float32(1e30)
+
+# local opcode aliases (shared *data model* with api, not shared math code)
+OP_LEAF = api.OP_LEAF
+OP_UNION = api.OP_UNION
+OP_INTERSECT = api.OP_INTERSECT
+OP_SUBTRACT = api.OP_SUBTRACT
+OP_SMOOTH_UNION = api.OP_SMOOTH_UNION
+OP_SMOOTH_INTERSECT = api.OP_SMOOTH_INTERSECT
+OP_SMOOTH_SUBTRACT = api.OP_SMOOTH_SUBTRACT
+_SMOOTH = (OP_SMOOTH_UNION, OP_SMOOTH_INTERSECT, OP_SMOOTH_SUBTRACT)
+
+
+def _dot(a, b):
+    return (a[0] * b[0] + a[1] * b[1]) + a[2] * b[2]
+
+
+def _normalize(v):
+    inv = F(1.0) / np.sqrt(_dot(v, v))
+    return (v[0] * inv, v[1] * inv, v[2] * inv)
+
+
+def _pow_int(x, n: int):
+    n = int(n)
+    if n == 0:
+        return np.ones_like(x)
+    result = None
+    base = x
+    while n:
+        if n & 1:
+            result = base if result is None else result * base
+        n >>= 1
+        if n:
+            base = base * base
+    return result
+
+
+def _saturate(x):
+    return np.minimum(np.maximum(x, F(0.0)), F(1.0))
+
+
+def _clamp(x, lo, hi):
+    return np.minimum(np.maximum(x, lo), hi)
+
+
+def _mix(a, b, t):
+    return a + (b - a) * t
+
+
+# ---------------------------------------------------------------------------
+# Scene flattening (golden-local; mirrors the data model only)
+# ---------------------------------------------------------------------------
+
+class _Leaf:
+    def __init__(self, node, sign):
+        self.node = node
+        self.sign = sign
+
+
+class _Obj:
+    def __init__(self, scene_obj: api.SceneObject):
+        self.material = scene_obj.material
+        self.is_mesh = isinstance(scene_obj.node, api.TriangleMesh)
+        self.mesh = scene_obj.node if self.is_mesh else None
+        self.leaves: List[_Leaf] = []
+        self.nodes: List[Tuple[int, int, int, int, float]] = []
+        self.is_sdf = False
+        if not self.is_mesh:
+            self._walk(scene_obj.node, +1)
+            self.is_sdf = (scene_obj.engine == "sdf") or self._needs_sdf(
+                scene_obj.node)
+
+    def _needs_sdf(self, n):
+        if isinstance(n, api.Mandelbulb):
+            return True
+        if isinstance(n, api.CSG):
+            if n.op in _SMOOTH:
+                return True
+            return self._needs_sdf(n.a) or self._needs_sdf(n.b)
+        return False
+
+    def _walk(self, n, sign):
+        if isinstance(n, api.CSG):
+            ia = self._walk(n.a, sign)
+            flip = -sign if n.op in (OP_SUBTRACT, OP_SMOOTH_SUBTRACT) else sign
+            ib = self._walk(n.b, flip)
+            self.nodes.append((n.op, ia, ib, -1, float(n.k)))
+            return len(self.nodes) - 1
+        self.leaves.append(_Leaf(n, sign))
+        self.nodes.append((OP_LEAF, -1, -1, len(self.leaves) - 1, 0.0))
+        return len(self.nodes) - 1
+
+
+# ---------------------------------------------------------------------------
+# Analytic leaf intervals + event CSG (mirrors engines/analytic.py semantics)
+# ---------------------------------------------------------------------------
+
+def _quad_roots(b_half, c):
+    disc = b_half * b_half - c
+    has = disc >= F(0.0)
+    sq = np.sqrt(np.maximum(disc, F(0.0)))
+    s = np.where(b_half >= F(0.0), F(1.0), F(-1.0))
+    q = -(b_half + s * sq)
+    r0 = q
+    r1 = np.where(q != F(0.0), c / q, -b_half)
+    t0 = np.minimum(r0, r1)
+    t1 = np.maximum(r0, r1)
+    t0 = np.where(has, t0, BIG)
+    t1 = np.where(has, t1, -BIG)
+    return t0, t1
+
+
+def _leaf_interval(leaf: _Leaf, o, d):
+    n = leaf.node
+    if isinstance(n, api.Sphere):
+        c = tuple(F(v) for v in n.center)
+        r = F(n.radius)
+        oc = (o[0] - c[0], o[1] - c[1], o[2] - c[2])
+        b = _dot(oc, d)
+        cc = _dot(oc, oc) - r * r
+        return _quad_roots(b, cc)
+    if isinstance(n, api.Plane):
+        nrm = np.asarray(n.normal, np.float64)
+        nrm = (nrm / np.sqrt(np.dot(nrm, nrm))).astype(np.float32)
+        off = F(n.offset)
+        denom = _dot((F(nrm[0]), F(nrm[1]), F(nrm[2])), d)
+        no = _dot((F(nrm[0]), F(nrm[1]), F(nrm[2])), o)
+        safe = np.where(denom == F(0.0), F(1.0), denom)
+        t_star = (off - no) / safe
+        inside = (no - off) < F(0.0)
+        t0 = np.where(denom < F(0.0), t_star, -BIG)
+        t1 = np.where(denom < F(0.0), BIG, t_star)
+        t0 = np.where(denom == F(0.0), np.where(inside, -BIG, BIG), t0)
+        t1 = np.where(denom == F(0.0), np.where(inside, BIG, -BIG), t1)
+        return t0, t1
+    if isinstance(n, api.Box):
+        c = tuple(F(v) for v in n.center)
+        h = tuple(F(v) for v in n.half_extents)
+        t0 = np.full_like(o[0], -BIG)
+        t1 = np.full_like(o[0], BIG)
+        for ax in range(3):
+            dz = d[ax] == F(0.0)
+            safe = np.where(dz, F(1.0), d[ax])
+            inv = F(1.0) / safe
+            lo = (c[ax] - h[ax] - o[ax]) * inv
+            hi = (c[ax] + h[ax] - o[ax]) * inv
+            tn = np.minimum(lo, hi)
+            tf = np.maximum(lo, hi)
+            in_slab = np.abs(o[ax] - c[ax]) <= h[ax]
+            tn = np.where(dz, np.where(in_slab, -BIG, BIG), tn)
+            tf = np.where(dz, np.where(in_slab, BIG, -BIG), tf)
+            t0 = np.maximum(t0, tn)
+            t1 = np.minimum(t1, tf)
+        empty = t0 > t1
+        t0 = np.where(empty, BIG, t0)
+        t1 = np.where(empty, -BIG, t1)
+        return t0, t1
+    raise TypeError(f"analytic golden: unsupported leaf {type(n).__name__}")
+
+
+def _eval_bool_tree(obj: _Obj, statuses):
+    vals = []
+    for (op, a, b, leaf, _k) in obj.nodes:
+        if op == OP_LEAF:
+            vals.append(statuses[leaf])
+        elif op == OP_UNION:
+            vals.append(vals[a] | vals[b])
+        elif op == OP_INTERSECT:
+            vals.append(vals[a] & vals[b])
+        elif op == OP_SUBTRACT:
+            vals.append(vals[a] & (~vals[b]))
+        else:
+            raise ValueError("smooth op in analytic golden")
+    return vals[-1]
+
+
+def _intersect_analytic(obj: _Obj, o, d, t_min, t_max):
+    n_leaves = len(obj.leaves)
+    intervals = [_leaf_interval(lf, o, d) for lf in obj.leaves]
+    if n_leaves == 1 and len(obj.nodes) == 1:
+        t0, t1 = intervals[0]
+        e0 = (t0 > t_min) & (t0 < t_max)
+        e1 = (t1 > t_min) & (t1 < t_max)
+        t = np.where(e0, t0, np.where(e1, t1, BIG))
+        return t, np.zeros_like(t, np.int32)
+    t_best = np.full_like(o[0], BIG)
+    leaf_best = np.zeros_like(o[0], dtype=np.int32)
+    for li in range(n_leaves):
+        for endpoint in range(2):
+            t_e = intervals[li][endpoint]
+            statuses_before = []
+            statuses_after = []
+            for lj in range(n_leaves):
+                if lj == li:
+                    before = endpoint == 1
+                    shaped = np.full_like(t_e, before, dtype=bool)
+                    statuses_before.append(shaped)
+                    statuses_after.append(~shaped)
+                else:
+                    tj0, tj1 = intervals[lj]
+                    inside_j = (tj0 < t_e) & (t_e < tj1)
+                    statuses_before.append(inside_j)
+                    statuses_after.append(inside_j)
+            flip = _eval_bool_tree(obj, statuses_before) ^ _eval_bool_tree(
+                obj, statuses_after)
+            valid = flip & (t_e > t_min) & (t_e < t_max)
+            better = valid & (t_e < t_best)
+            t_best = np.where(better, t_e, t_best)
+            leaf_best = np.where(better, np.int32(li), leaf_best)
+    return t_best, leaf_best
+
+
+def _leaf_normal(leaf: _Leaf, p):
+    n = leaf.node
+    if isinstance(n, api.Sphere):
+        c = tuple(F(v) for v in n.center)
+        return _normalize((p[0] - c[0], p[1] - c[1], p[2] - c[2]))
+    if isinstance(n, api.Plane):
+        nrm = np.asarray(n.normal, np.float64)
+        nrm = (nrm / np.sqrt(np.dot(nrm, nrm))).astype(np.float32)
+        shaped = np.ones_like(p[0])
+        return (F(nrm[0]) * shaped, F(nrm[1]) * shaped, F(nrm[2]) * shaped)
+    if isinstance(n, api.Box):
+        c = tuple(F(v) for v in n.center)
+        h = tuple(F(v) for v in n.half_extents)
+        q = (p[0] - c[0], p[1] - c[1], p[2] - c[2])
+        dx = np.abs(q[0]) - h[0]
+        dy = np.abs(q[1]) - h[1]
+        dz = np.abs(q[2]) - h[2]
+        sx = np.where(q[0] >= F(0.0), F(1.0), F(-1.0))
+        sy = np.where(q[1] >= F(0.0), F(1.0), F(-1.0))
+        sz = np.where(q[2] >= F(0.0), F(1.0), F(-1.0))
+        x_wins = (dx >= dy) & (dx >= dz)
+        y_wins = (~x_wins) & (dy >= dz)
+        zero = np.zeros_like(dx)
+        return (np.where(x_wins, sx, zero),
+                np.where(y_wins, sy, zero),
+                np.where(x_wins | y_wins, zero, sz))
+    raise TypeError(f"golden normal: unsupported leaf {type(n).__name__}")
+
+
+# ---------------------------------------------------------------------------
+# SDF evaluation (mirrors engines/sdf.py semantics)
+# ---------------------------------------------------------------------------
+
+def _leaf_sdf(leaf: _Leaf, p):
+    n = leaf.node
+    if isinstance(n, api.Sphere):
+        c = tuple(F(v) for v in n.center)
+        q = (p[0] - c[0], p[1] - c[1], p[2] - c[2])
+        return np.sqrt(_dot(q, q)) - F(n.radius)
+    if isinstance(n, api.Plane):
+        nrm = np.asarray(n.normal, np.float64)
+        nrm = (nrm / np.sqrt(np.dot(nrm, nrm))).astype(np.float32)
+        return _dot((F(nrm[0]), F(nrm[1]), F(nrm[2])), p) - F(n.offset)
+    if isinstance(n, api.Box):
+        c = tuple(F(v) for v in n.center)
+        h = tuple(F(v) for v in n.half_extents)
+        qx = np.abs(p[0] - c[0]) - h[0]
+        qy = np.abs(p[1] - c[1]) - h[1]
+        qz = np.abs(p[2] - c[2]) - h[2]
+        ox = np.maximum(qx, F(0.0))
+        oy = np.maximum(qy, F(0.0))
+        oz = np.maximum(qz, F(0.0))
+        outside = np.sqrt((ox * ox + oy * oy) + oz * oz)
+        inside = np.minimum(np.maximum(qx, np.maximum(qy, qz)), F(0.0))
+        return outside + inside
+    if isinstance(n, api.Mandelbulb):
+        return _sdf_mandelbulb(n, p)
+    raise TypeError(f"golden sdf: unsupported leaf {type(n).__name__}")
+
+
+def _sdf_mandelbulb(n: api.Mandelbulb, p):
+    assert n.power == 8, "golden: only power-8 mandelbulb"
+    c = tuple(F(v) for v in n.center)
+    scale = F(n.scale)
+    bailout2 = F(n.bailout) * F(n.bailout) * F(16.0)
+    inv_s = F(1.0) / scale
+    px = (p[0] - c[0]) * inv_s
+    py = (p[1] - c[1]) * inv_s
+    pz = (p[2] - c[2]) * inv_s
+    wx, wy, wz = px.copy(), py.copy(), pz.copy()
+    m = (wx * wx + wy * wy) + wz * wz
+    dz = np.ones_like(m)
+    escaped = m > bailout2
+    # escaped lanes overflow harmlessly (masked by `active`); mirror the
+    # silent masked-lane semantics of the device path
+    _err = np.errstate(invalid="ignore", over="ignore")
+    _err.__enter__()
+    for _ in range(n.iterations):
+        active = ~escaped
+        m3 = (m * m) * m
+        dz_new = F(8.0) * (m3 * np.sqrt(m)) * dz + F(1.0)
+        r = np.sqrt(m)
+        b = F(8.0) * np.arccos(_clamp(wy / r, F(-1.0), F(1.0)))
+        a = F(8.0) * np.arctan2(wx, wz)
+        r8 = (m * m) * (m * m)
+        sb = np.sin(b)
+        wx_new = px + r8 * (sb * np.sin(a))
+        wy_new = py + r8 * np.cos(b)
+        wz_new = pz + r8 * (sb * np.cos(a))
+        wx = np.where(active, wx_new, wx)
+        wy = np.where(active, wy_new, wy)
+        wz = np.where(active, wz_new, wz)
+        dz = np.where(active, dz_new, dz)
+        m = np.where(active, (wx * wx + wy * wy) + wz * wz, m)
+        escaped = escaped | (m > bailout2)
+    r = np.sqrt(m)
+    return (F(0.25) * np.log(m) * r / dz) * scale
+
+
+def _eval_sdf(obj: _Obj, p):
+    vals = []
+    for (op, a, b, leaf, k) in obj.nodes:
+        if op == OP_LEAF:
+            vals.append(_leaf_sdf(obj.leaves[leaf], p))
+        elif op == OP_UNION:
+            vals.append(np.minimum(vals[a], vals[b]))
+        elif op == OP_INTERSECT:
+            vals.append(np.maximum(vals[a], vals[b]))
+        elif op == OP_SUBTRACT:
+            vals.append(np.maximum(vals[a], -vals[b]))
+        elif op == OP_SMOOTH_UNION:
+            kf = F(k)
+            h = _saturate(F(0.5) + F(0.5) * (vals[b] - vals[a]) / kf)
+            vals.append(_mix(vals[b], vals[a], h) - kf * h * (F(1.0) - h))
+        elif op == OP_SMOOTH_INTERSECT:
+            kf = F(k)
+            h = _saturate(F(0.5) - F(0.5) * (vals[b] - vals[a]) / kf)
+            vals.append(_mix(vals[b], vals[a], h) + kf * h * (F(1.0) - h))
+        elif op == OP_SMOOTH_SUBTRACT:
+            kf = F(k)
+            h = _saturate(F(0.5) - F(0.5) * (vals[b] + vals[a]) / kf)
+            vals.append(_mix(vals[a], -vals[b], h) + kf * h * (F(1.0) - h))
+        else:
+            raise ValueError(f"unknown op {op}")
+    return vals[-1]
+
+
+def _sphere_trace(obj: _Obj, o, d, t_min, t_max, max_steps, hit_eps):
+    eps = F(hit_eps)
+    t = np.full_like(o[0], F(t_min))
+    done = np.zeros_like(o[0], dtype=bool)
+    hit = np.zeros_like(o[0], dtype=bool)
+    i = 0
+    while i < max_steps and not done.all():
+        px = o[0] + t * d[0]
+        py = o[1] + t * d[1]
+        pz = o[2] + t * d[2]
+        h = _eval_sdf(obj, (px, py, pz))
+        hit_now = h < eps
+        over = t > t_max
+        done_new = done | hit_now | over
+        t = np.where(done_new, t, t + h)
+        hit = hit | (hit_now & (~done))
+        done = done_new
+        i += 1
+    return np.where(hit, t, BIG), hit
+
+
+def _normal_fd(obj: _Obj, p, eps):
+    e = F(eps)
+    s0 = _eval_sdf(obj, (p[0] + e, p[1] - e, p[2] - e))
+    s1 = _eval_sdf(obj, (p[0] - e, p[1] - e, p[2] + e))
+    s2 = _eval_sdf(obj, (p[0] - e, p[1] + e, p[2] - e))
+    s3 = _eval_sdf(obj, (p[0] + e, p[1] + e, p[2] + e))
+    nx = ((s0 - s1) - s2) + s3
+    ny = ((-s0 - s1) + s2) + s3
+    nz = ((-s0 + s1) - s2) + s3
+    return _normalize((nx, ny, nz))
+
+
+# ---------------------------------------------------------------------------
+# Mesh (uniform grid) — golden path: brute-force Moller-Trumbore over all
+# triangles (deliberately boring; the grid is a device-side acceleration)
+# ---------------------------------------------------------------------------
+
+def _intersect_mesh_brute(mesh: api.TriangleMesh, o, d, t_min, t_max):
+    verts = np.asarray(mesh.vertices, np.float32)
+    faces = np.asarray(mesh.faces, np.int32)
+    t_best = np.full_like(o[0], BIG)
+    tri_best = np.zeros_like(o[0], dtype=np.int32)
+    eps = F(1e-9)
+    for fi in range(faces.shape[0]):
+        v0 = verts[faces[fi, 0]]
+        v1 = verts[faces[fi, 1]]
+        v2 = verts[faces[fi, 2]]
+        e1 = (F(v1[0] - v0[0]), F(v1[1] - v0[1]), F(v1[2] - v0[2]))
+        e2 = (F(v2[0] - v0[0]), F(v2[1] - v0[1]), F(v2[2] - v0[2]))
+        # pvec = cross(d, e2)
+        pv = (d[1] * e2[2] - d[2] * e2[1],
+              d[2] * e2[0] - d[0] * e2[2],
+              d[0] * e2[1] - d[1] * e2[0])
+        det = _dot(e1, pv)
+        ok = np.abs(det) > eps
+        inv_det = F(1.0) / np.where(ok, det, F(1.0))
+        tv = (o[0] - F(v0[0]), o[1] - F(v0[1]), o[2] - F(v0[2]))
+        u = _dot(tv, pv) * inv_det
+        qv = (tv[1] * e1[2] - tv[2] * e1[1],
+              tv[2] * e1[0] - tv[0] * e1[2],
+              tv[0] * e1[1] - tv[1] * e1[0])
+        v = _dot(d, qv) * inv_det
+        t = _dot(e2, qv) * inv_det
+        okf = (ok & (u >= F(0.0)) & (v >= F(0.0)) & (u + v <= F(1.0))
+               & (t > t_min) & (t < t_max))
+        better = okf & (t < t_best)
+        t_best = np.where(better, t, t_best)
+        tri_best = np.where(better, np.int32(fi), tri_best)
+    return t_best, tri_best
+
+
+def _mesh_normal(mesh: api.TriangleMesh, tri_id, shape):
+    verts = np.asarray(mesh.vertices, np.float32)
+    faces = np.asarray(mesh.faces, np.int32)
+    v0 = verts[faces[tri_id, 0]]
+    v1 = verts[faces[tri_id, 1]]
+    v2 = verts[faces[tri_id, 2]]
+    e1 = (v1[..., 0] - v0[..., 0], v1[..., 1] - v0[..., 1],
+          v1[..., 2] - v0[..., 2])
+    e2 = (v2[..., 0] - v0[..., 0], v2[..., 1] - v0[..., 1],
+          v2[..., 2] - v0[..., 2])
+    n = (e1[1] * e2[2] - e1[2] * e2[1],
+         e1[2] * e2[0] - e1[0] * e2[2],
+         e1[0] * e2[1] - e1[1] * e2[0])
+    return _normalize(n)
+
+
+# ---------------------------------------------------------------------------
+# AO probe directions (mirrors engines/sdf._AO_DIRS by definition)
+# ---------------------------------------------------------------------------
+
+_AO_DIRS = (
+    (0.0, 0.0, 1.0),
+    (0.7, 0.0, 0.7141428),
+    (-0.7, 0.0, 0.7141428),
+    (0.0, 0.7, 0.7141428),
+    (0.0, -0.7, 0.7141428),
+    (0.5, 0.5, 0.7071068),
+    (-0.5, 0.5, 0.7071068),
+    (0.5, -0.5, 0.7071068),
+    (-0.5, -0.5, 0.7071068),
+)
+
+
+# ---------------------------------------------------------------------------
+# Full golden frame
+# ---------------------------------------------------------------------------
+
+def render(scene: api.Scene, camera: api.Camera,
+           settings: RenderSettings = RenderSettings()):
+    """Golden frame. Returns dict of numpy arrays: rgb, depth, normal, hit."""
+    intr = camera.intrinsics
+    H, W = intr.height, intr.width
+    rr, cc = np.meshgrid(np.arange(H, dtype=np.float32),
+                         np.arange(W, dtype=np.float32), indexing="ij")
+    rr = rr.reshape(-1)
+    cc = cc.reshape(-1)
+    xc = (cc + F(0.5) - F(intr.cx)) / F(intr.fx)
+    yc = (rr + F(0.5) - F(intr.cy)) / F(intr.fy)
+    R = np.asarray(camera.rotation, np.float32).reshape(9)
+    dx = (R[0] * xc + R[1] * yc) + R[2]
+    dy = (R[3] * xc + R[4] * yc) + R[5]
+    dz = (R[6] * xc + R[7] * yc) + R[8]
+    d = _normalize((dx, dy, dz))
+    pos = np.asarray(camera.position, np.float32)
+    o = (np.full_like(dx, pos[0]), np.full_like(dx, pos[1]),
+         np.full_like(dx, pos[2]))
+
+    objs = [_Obj(so) for so in scene.objects]
+
+    def trace(o, d, t_min, t_max):
+        t_best = np.full_like(o[0], BIG)
+        obj_best = np.full_like(o[0], -1, dtype=np.int32)
+        leaf_best = np.zeros_like(o[0], dtype=np.int32)
+        for i, ob in enumerate(objs):
+            if ob.is_mesh:
+                t_i, leaf_i = _intersect_mesh_brute(ob.mesh, o, d,
+                                                    t_min, t_max)
+            elif ob.is_sdf:
+                t_i, _hit = _sphere_trace(ob, o, d, t_min, t_max,
+                                          settings.max_steps,
+                                          settings.hit_eps)
+                leaf_i = np.zeros_like(t_i, dtype=np.int32)
+            else:
+                t_i, leaf_i = _intersect_analytic(ob, o, d, t_min, t_max)
+            better = t_i < t_best
+            t_best = np.where(better, t_i, t_best)
+            obj_best = np.where(better, np.int32(i), obj_best)
+            leaf_best = np.where(better, leaf_i, leaf_best)
+        mask = t_best < BIG * F(0.5)
+        return t_best, obj_best, leaf_best, mask
+
+    t_raw, obj_id, leaf_id, mask = trace(o, d, F(settings.t_min),
+                                         F(settings.t_max))
+    t = np.where(mask, t_raw, F(0.0))
+    p = (o[0] + t * d[0], o[1] + t * d[1], o[2] + t * d[2])
+
+    # normals
+    nx = np.zeros_like(p[0])
+    ny = np.zeros_like(p[0])
+    nz = np.ones_like(p[0])
+    for i, ob in enumerate(objs):
+        if ob.is_mesh:
+            n_i = _mesh_normal(ob.mesh, leaf_id, p[0].shape)
+        elif (not ob.is_sdf) and settings.normals == "auto":
+            lnx = np.zeros_like(p[0])
+            lny = np.zeros_like(p[0])
+            lnz = np.zeros_like(p[0])
+            for li, lf in enumerate(ob.leaves):
+                n_l = _leaf_normal(lf, p)
+                s = F(float(lf.sign))
+                sel = leaf_id == np.int32(li)
+                lnx = np.where(sel, n_l[0] * s, lnx)
+                lny = np.where(sel, n_l[1] * s, lny)
+                lnz = np.where(sel, n_l[2] * s, lnz)
+            n_i = (lnx, lny, lnz)
+        else:
+            n_i = _normal_fd(ob, p, settings.normal_eps)
+        sel = obj_id == np.int32(i)
+        nx = np.where(sel, n_i[0], nx)
+        ny = np.where(sel, n_i[1], ny)
+        nz = np.where(sel, n_i[2], nz)
+    flip = _dot((nx, ny, nz), d) > F(0.0)
+    s = np.where(flip, F(-1.0), F(1.0))
+    n = (nx * s, ny * s, nz * s)
+
+    eps = F(settings.shadow_eps)
+    p_off = (p[0] + n[0] * eps, p[1] + n[1] * eps, p[2] + n[2] * eps)
+
+    nonmesh = [ob for ob in objs if not ob.is_mesh]
+
+    def scene_sdf(pp):
+        v = _eval_sdf(nonmesh[0], pp)
+        for ob in nonmesh[1:]:
+            v = np.minimum(v, _eval_sdf(ob, pp))
+        return v
+
+    # lights
+    light_terms = []
+    for lt in scene.lights:
+        if isinstance(lt, api.PointLight):
+            lp = tuple(F(v) for v in lt.position)
+            lvx = lp[0] - p_off[0]
+            lvy = lp[1] - p_off[1]
+            lvz = lp[2] - p_off[2]
+            dist = np.sqrt((lvx * lvx + lvy * lvy) + lvz * lvz)
+            inv = F(1.0) / dist
+            l = (lvx * inv, lvy * inv, lvz * inv)
+            lcol = tuple(F(v) for v in lt.color)
+        else:
+            dd = np.asarray(lt.direction, np.float64)
+            dd = (dd / np.sqrt(np.dot(dd, dd))).astype(np.float32)
+            l = (np.full_like(p_off[0], -dd[0]),
+                 np.full_like(p_off[0], -dd[1]),
+                 np.full_like(p_off[0], -dd[2]))
+            dist = np.full_like(p_off[0], F(settings.t_max))
+            lcol = tuple(F(v) for v in lt.color)
+
+        vis = np.ones_like(p_off[0])
+        if settings.shadows and objs:
+            if settings.soft_shadows and nonmesh:
+                vis = vis * _soft_shadow(scene_sdf, p_off, l,
+                                         settings.soft_shadow_tmin, dist,
+                                         settings.soft_shadow_k,
+                                         settings.shadow_steps)
+                for ob in objs:
+                    if ob.is_mesh:
+                        t_i, _ = _intersect_mesh_brute(
+                            ob.mesh, p_off, l, F(settings.shadow_eps), dist)
+                        vis = vis * np.where(t_i < dist, F(0.0), F(1.0))
+            else:
+                t_s, _, _, m_s = trace(p_off, l, F(settings.shadow_eps), dist)
+                vis = vis * np.where(m_s & (t_s < dist), F(0.0), F(1.0))
+        light_terms.append((l, lcol, vis))
+
+    # AO
+    if settings.ao and nonmesh:
+        ao = _ao(scene_sdf, p_off, n, settings.ao_samples,
+                 settings.ao_radius, settings.ao_strength)
+    else:
+        ao = np.ones_like(p[0])
+
+    v = (-d[0], -d[1], -d[2])
+    amb = tuple(F(x) for x in scene.ambient)
+    bg = settings.background
+    r = np.full_like(p[0], F(bg[0]))
+    g = np.full_like(p[0], F(bg[1]))
+    b = np.full_like(p[0], F(bg[2]))
+    for i, ob in enumerate(objs):
+        m = ob.material
+        alb = tuple(F(x) for x in m.albedo)
+        spc = tuple(F(x) for x in m.specular_color)
+        ka, kd, ks = F(m.ka), F(m.kd), F(m.ks)
+        ri = ka * alb[0] * amb[0] * ao
+        gi = ka * alb[1] * amb[1] * ao
+        bi = ka * alb[2] * amb[2] * ao
+        for (l, lcol, vis) in light_terms:
+            ndotl = np.maximum(_dot(n, l), F(0.0))
+            diff = kd * ndotl
+            h = _normalize((l[0] + v[0], l[1] + v[1], l[2] + v[2]))
+            ndoth = np.maximum(_dot(n, h), F(0.0))
+            spec = ks * _pow_int(ndoth, m.shininess)
+            ri = ri + vis * lcol[0] * (diff * alb[0] + spec * spc[0])
+            gi = gi + vis * lcol[1] * (diff * alb[1] + spec * spc[1])
+            bi = bi + vis * lcol[2] * (diff * alb[2] + spec * spc[2])
+        sel = mask & (obj_id == np.int32(i))
+        r = np.where(sel, ri, r)
+        g = np.where(sel, gi, g)
+        b = np.where(sel, bi, b)
+
+    hitf = mask.astype(np.float32)
+    return {
+        "rgb": np.stack([r, g, b], axis=-1).reshape(H, W, 3),
+        "depth": t.reshape(H, W),
+        "normal": np.stack([n[0] * hitf, n[1] * hitf, n[2] * hitf],
+                           axis=-1).reshape(H, W, 3),
+        "hit": hitf.reshape(H, W),
+        "obj_id": np.where(mask, obj_id, np.int32(-1)).reshape(H, W),
+    }
+
+
+def _soft_shadow(sdf_fn, o, d, t_min, t_max, k, steps):
+    kf = F(k)
+    t = np.full_like(o[0], F(t_min))
+    res = np.ones_like(o[0])
+    done = np.zeros_like(o[0], dtype=bool)
+    i = 0
+    while i < steps and not done.all():
+        px = o[0] + t * d[0]
+        py = o[1] + t * d[1]
+        pz = o[2] + t * d[2]
+        h = sdf_fn((px, py, pz))
+        res_new = np.minimum(res, kf * h / t)
+        step = _clamp(h, F(1e-3), F(0.5))
+        t_new = t + step
+        done_new = done | (res_new < F(0.0)) | (t_new > t_max)
+        res = np.where(done, res, res_new)
+        t = np.where(done, t, t_new)
+        done = done_new
+        i += 1
+    return _saturate(res)
+
+
+def _ao(sdf_fn, p, n, samples, radius, strength):
+    samples = min(samples, len(_AO_DIRS))
+    big_y = np.abs(n[1]) > F(0.9)
+    hx = np.where(big_y, F(1.0), F(0.0))
+    hy = np.where(big_y, F(0.0), F(1.0))
+    t1 = _normalize((hy * n[2], -hx * n[2], hx * n[1] - hy * n[0]))
+    t2 = (n[1] * t1[2] - n[2] * t1[1],
+          n[2] * t1[0] - n[0] * t1[2],
+          n[0] * t1[1] - n[1] * t1[0])
+    occ = np.zeros_like(p[0])
+    rad = F(radius)
+    for si in range(samples):
+        ax, ay, az = _AO_DIRS[si]
+        dx = (F(ax) * t1[0] + F(ay) * t2[0]) + F(az) * n[0]
+        dy = (F(ax) * t1[1] + F(ay) * t2[1]) + F(az) * n[1]
+        dz = (F(ax) * t1[2] + F(ay) * t2[2]) + F(az) * n[2]
+        for tap in range(1, 5):
+            rr = rad * F(tap) * F(0.25)
+            h = sdf_fn((p[0] + dx * rr, p[1] + dy * rr, p[2] + dz * rr))
+            occ = occ + np.maximum(rr - h, F(0.0)) / rr
+    occ = occ / F(samples * 4)
+    return _saturate(F(1.0) - F(strength) * occ)
