@@ -1,0 +1,143 @@
+"""Engine unit tests: CSG event algebra, slab tests, SDF properties,
+sphere-trace vs analytic agreement (SURVEY.md §4.2)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from surfjax import (
+    Box, Material, Plane, Scene, Sphere, intersect, subtract, union,
+    smooth_union,
+)
+from surfjax.core.math import BIG
+from surfjax.core.scene_compile import compile_scene
+from surfjax.engines.analytic import intersect_analytic
+from surfjax.engines.sdf import eval_sdf, _sphere_trace_impl, sphere_trace
+
+
+def _compile_single(node, engine=None):
+    s = Scene().add(node, Material.lambert(), engine=engine)
+    static, params = s.freeze()
+    return static.ir.objects[0], {k: jnp.asarray(v)
+                                  for k, v in params.items()}
+
+
+def _ray(o, d):
+    d = np.asarray(d, np.float64)
+    d = d / np.sqrt((d * d).sum())
+    return (tuple(jnp.float32(x) * jnp.ones(1) for x in o),
+            tuple(jnp.float32(x) * jnp.ones(1) for x in d))
+
+
+def test_union_nearest():
+    node = union(Sphere((0, 0, 5), 1.0), Sphere((0, 0, 9), 1.0))
+    oir, p = _compile_single(node)
+    o, d = _ray((0, 0, 0), (0, 0, 1))
+    t, leaf = intersect_analytic(oir, p["leaf_params"], o, d, 1e-3, 1e4)
+    np.testing.assert_allclose(float(t[0]), 4.0, rtol=1e-6)
+    assert int(leaf[0]) == 0
+
+
+def test_intersect_lens():
+    node = intersect(Sphere((0, 0, 5), 1.0), Sphere((0, 0, 6), 1.0))
+    oir, p = _compile_single(node)
+    o, d = _ray((0, 0, 0), (0, 0, 1))
+    t, leaf = intersect_analytic(oir, p["leaf_params"], o, d, 1e-3, 1e4)
+    # lens near surface: entry of the FARTHER constraint = sphere2 at t=5
+    np.testing.assert_allclose(float(t[0]), 5.0, rtol=1e-6)
+    assert int(leaf[0]) == 1
+
+
+def test_subtract_carve():
+    node = subtract(Sphere((0, 0, 5), 1.0), Sphere((0, 0, 4), 0.5))
+    oir, p = _compile_single(node)
+    o, d = _ray((0, 0, 0), (0, 0, 1))
+    t, leaf = intersect_analytic(oir, p["leaf_params"], o, d, 1e-3, 1e4)
+    # front of A at t=4 is inside the carved B(3.5..4.5) -> first surface is
+    # B's exit at t=4.5 (a concave carved surface)
+    np.testing.assert_allclose(float(t[0]), 4.5, rtol=1e-6)
+    assert int(leaf[0]) == 1
+
+
+def test_subtract_miss_through_hole():
+    # carve a tunnel: ray passes entirely through the subtracted cylinder
+    node = subtract(Box((0, 0, 5), (1, 1, 1)), Box((0, 0, 5), (0.3, 0.3, 2)))
+    oir, p = _compile_single(node)
+    o, d = _ray((0, 0, 0), (0, 0, 1))
+    t, _ = intersect_analytic(oir, p["leaf_params"], o, d, 1e-3, 1e4)
+    assert float(t[0]) > 1e29  # straight through the hole
+
+
+def test_box_slab_edges():
+    oir, p = _compile_single(Box((0, 0, 5), (1, 1, 1)))
+    # axis-parallel ray inside the slab (d.x == 0, inside x range)
+    o, d = _ray((0.5, 0.0, 0.0), (0, 0, 1))
+    t, _ = intersect_analytic(oir, p["leaf_params"], o, d, 1e-3, 1e4)
+    np.testing.assert_allclose(float(t[0]), 4.0, rtol=1e-6)
+    # axis-parallel ray outside the slab -> miss
+    o, d = _ray((2.0, 0.0, 0.0), (0, 0, 1))
+    t, _ = intersect_analytic(oir, p["leaf_params"], o, d, 1e-3, 1e4)
+    assert float(t[0]) > 1e29
+
+
+def test_plane_halfspace():
+    oir, p = _compile_single(Plane((0, 1, 0), -1.0))
+    o, d = _ray((0, 0, 0), (0, -1, 0))
+    t, _ = intersect_analytic(oir, p["leaf_params"], o, d, 1e-3, 1e4)
+    np.testing.assert_allclose(float(t[0]), 1.0, rtol=1e-6)
+    # looking up: no hit
+    o, d = _ray((0, 0, 0), (0, 1, 0))
+    t, _ = intersect_analytic(oir, p["leaf_params"], o, d, 1e-3, 1e4)
+    assert float(t[0]) > 1e29
+
+
+def test_smooth_union_k_to_0_is_min(rng):
+    a = Sphere((0.3, 0, 0), 1.0)
+    b = Box((-0.4, 0.2, 0), (0.5, 0.5, 0.5))
+    pts = tuple(jnp.asarray(rng.normal(size=200).astype(np.float32) * 2)
+                for _ in range(3))
+    oir_s, p_s = _compile_single(smooth_union(a, b, 1e-6), engine="sdf")
+    oir_u, p_u = _compile_single(union(a, b), engine="sdf")
+    vs = eval_sdf(oir_s, p_s["leaf_params"], p_s["node_params"], pts)
+    vu = eval_sdf(oir_u, p_u["leaf_params"], p_u["node_params"], pts)
+    np.testing.assert_allclose(np.asarray(vs), np.asarray(vu), atol=2e-6)
+
+
+def test_sdf_sphere_sign(rng):
+    oir, p = _compile_single(Sphere((0, 0, 0), 1.0), engine="sdf")
+    pts = tuple(jnp.asarray(rng.normal(size=500).astype(np.float32))
+                for _ in range(3))
+    v = np.asarray(eval_sdf(oir, p["leaf_params"], p["node_params"], pts))
+    r = np.sqrt(sum(np.asarray(c) ** 2 for c in pts))
+    np.testing.assert_allclose(v, r - 1.0, atol=1e-6)
+
+
+def test_sphere_trace_matches_analytic():
+    oir_s, p_s = _compile_single(Sphere((0, 0, 5), 1.0), engine="sdf")
+    oir_a, p_a = _compile_single(Sphere((0, 0, 5), 1.0))
+    n = 64
+    ang = np.linspace(-0.15, 0.15, n).astype(np.float32)
+    d = (jnp.asarray(np.sin(ang)), jnp.zeros(n, jnp.float32),
+         jnp.asarray(np.cos(ang)))
+    o = tuple(jnp.zeros(n, jnp.float32) for _ in range(3))
+    t_m, hit = _sphere_trace_impl(oir_s, p_s["leaf_params"],
+                                  p_s["node_params"], o, d,
+                                  1e-3, 1e4, 256, 1e-4)
+    t_a, _ = intersect_analytic(oir_a, p_a["leaf_params"], o, d, 1e-3, 1e4)
+    hit_a = np.asarray(t_a) < 1e29
+    np.testing.assert_array_equal(np.asarray(hit), hit_a)
+    err = np.abs(np.asarray(t_m) - np.asarray(t_a))[hit_a]
+    assert err.max() < 5e-3  # march converges to within ~hit_eps scale
+
+
+def test_mandelbulb_de_bounded():
+    from surfjax import Mandelbulb
+    oir, p = _compile_single(Mandelbulb(center=(0, 0, 0)), engine="sdf")
+    # far away, DE must be positive and not wildly overestimate distance
+    pts = (jnp.asarray([3.0, 0.0, 2.5], jnp.float32),
+           jnp.asarray([0.0, 3.0, 0.0], jnp.float32),
+           jnp.asarray([0.0, 0.0, 2.0], jnp.float32))
+    v = np.asarray(eval_sdf(oir, p["leaf_params"], p["node_params"], pts))
+    assert (v > 0).all()
+    r = np.sqrt(np.asarray([9 + 0 + 0, 0 + 9 + 0, 2.5**2 + 4]))
+    assert (v <= r).all()  # DE is a lower bound on distance; bulb radius ~1.2
