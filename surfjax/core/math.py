@@ -22,11 +22,14 @@ both the parity-friendly representation and the layout the Pallas kernels use
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 # A large-but-finite sentinel used instead of inf so that arithmetic on miss
 # lanes never produces NaNs inside masked kernels.
-BIG = jnp.float32(1e30)
-F32 = jnp.float32
+# NOTE: scalar constants are numpy float32 (not jnp) — jnp.float32(x) builds
+# a 0-d device array, which Pallas kernel bodies may not capture.
+BIG = np.float32(1e30)
+F32 = np.float32
 
 
 def f32(x):

@@ -58,18 +58,19 @@ def sdf_box(prm, p):
 
 
 def sdf_mandelbulb(prm, p, power: int, iterations: int):
-    """Power-8 Mandelbulb distance estimator (component 5).
+    """Power-8 Mandelbulb distance estimator (component 5), trig-free.
 
-    Specialized to power == 8 so all powers reduce to int-multiplies and one
-    sqrt (m^3.5 = m*m*m*sqrt(m); r^8 = m^4), leaving only acos/atan2/sin/cos
-    as transcendentals (which get the tolerance carve-out of SURVEY.md §4.1
-    for chaotic pixels).
+    Uses the closed-form degree-8 triplex power expansion (the standard
+    trigless formulation of z -> z^8 + c), so the iteration contains only
+    +, *, /, sqrt — no acos/atan2/sin/cos. This both lowers cleanly in
+    Pallas TPU (acos has no Mosaic lowering) and keeps the golden-parity
+    carve-out down to the single final log().
     """
     if power != 8:
         raise NotImplementedError("Mandelbulb: only power=8 is specialized")
     c = (prm[0], prm[1], prm[2])
     scale = prm[3]
-    bailout2 = prm[4] * prm[4] * F32(16.0)  # (2*bailout)^2-ish guard; see note
+    bailout2 = prm[4] * prm[4] * F32(16.0)
     inv_s = F32(1.0) / scale
     px = (p[0] - c[0]) * inv_s
     py = (p[1] - c[1]) * inv_s
@@ -79,20 +80,37 @@ def sdf_mandelbulb(prm, p, power: int, iterations: int):
     m = (wx * wx + wy * wy) + wz * wz
     dz = jnp.ones_like(m)
     escaped = m > bailout2
+    tiny = F32(1e-4)  # k3^7 must not underflow f32
 
     for _ in range(iterations):
         active = ~escaped
-        m3 = (m * m) * m
-        dz_new = F32(8.0) * (m3 * jnp.sqrt(m)) * dz + F32(1.0)
-        r = jnp.sqrt(m)
-        # guard: y/r in [-1, 1]
-        b = F32(8.0) * jnp.arccos(clamp(wy / r, F32(-1.0), F32(1.0)))
-        a = F32(8.0) * jnp.arctan2(wx, wz)
-        r8 = (m * m) * (m * m)
-        sb = jnp.sin(b)
-        wx_new = px + r8 * (sb * jnp.sin(a))
-        wy_new = py + r8 * jnp.cos(b)
-        wz_new = pz + r8 * (sb * jnp.cos(a))
+        m2 = m * m
+        m4 = m2 * m2
+        dz_new = F32(8.0) * jnp.sqrt((m4 * m2) * m) * dz + F32(1.0)
+
+        x, y, z = wx, wy, wz
+        x2 = x * x
+        x4 = x2 * x2
+        y2 = y * y
+        y4 = y2 * y2
+        z2 = z * z
+        z4 = z2 * z2
+        k3 = x2 + z2
+        k3s = jnp.maximum(k3, tiny)
+        k37 = ((k3s * k3s) * (k3s * k3s)) * ((k3s * k3s) * k3s)
+        k2 = F32(1.0) / jnp.sqrt(k37)
+        k1 = ((x4 + y4) + z4) - F32(6.0) * (y2 * z2) \
+            - F32(6.0) * (x2 * y2) + F32(2.0) * (z2 * x2)
+        k4 = (x2 - y2) + z2
+
+        wx_new = px + F32(64.0) * ((((x * y) * z) * (x2 - z2)) * k4) \
+            * ((x4 - F32(6.0) * (x2 * z2)) + z4) * k1 * k2
+        wy_new = py + (F32(-16.0) * (y2 * k3) * (k4 * k4) + k1 * k1)
+        wz_new = pz + F32(-8.0) * (y * k4) \
+            * ((((x4 * x4) - F32(28.0) * ((x4 * x2) * z2))
+                + F32(70.0) * (x4 * z4))
+               - F32(28.0) * ((x2 * z2) * z4) + (z4 * z4)) * k1 * k2
+
         wx = jnp.where(active, wx_new, wx)
         wy = jnp.where(active, wy_new, wy)
         wz = jnp.where(active, wz_new, wz)

@@ -310,22 +310,37 @@ def _sdf_mandelbulb(n: api.Mandelbulb, p):
     m = (wx * wx + wy * wy) + wz * wz
     dz = np.ones_like(m)
     escaped = m > bailout2
+    tiny = F(1e-4)  # k3^7 must not underflow f32
     # escaped lanes overflow harmlessly (masked by `active`); mirror the
     # silent masked-lane semantics of the device path
     _err = np.errstate(invalid="ignore", over="ignore")
     _err.__enter__()
     for _ in range(n.iterations):
         active = ~escaped
-        m3 = (m * m) * m
-        dz_new = F(8.0) * (m3 * np.sqrt(m)) * dz + F(1.0)
-        r = np.sqrt(m)
-        b = F(8.0) * np.arccos(_clamp(wy / r, F(-1.0), F(1.0)))
-        a = F(8.0) * np.arctan2(wx, wz)
-        r8 = (m * m) * (m * m)
-        sb = np.sin(b)
-        wx_new = px + r8 * (sb * np.sin(a))
-        wy_new = py + r8 * np.cos(b)
-        wz_new = pz + r8 * (sb * np.cos(a))
+        m2 = m * m
+        m4 = m2 * m2
+        dz_new = F(8.0) * np.sqrt((m4 * m2) * m) * dz + F(1.0)
+        x, y, z = wx, wy, wz
+        x2 = x * x
+        x4 = x2 * x2
+        y2 = y * y
+        y4 = y2 * y2
+        z2 = z * z
+        z4 = z2 * z2
+        k3 = x2 + z2
+        k3s = np.maximum(k3, tiny)
+        k37 = ((k3s * k3s) * (k3s * k3s)) * ((k3s * k3s) * k3s)
+        k2 = F(1.0) / np.sqrt(k37)
+        k1 = ((x4 + y4) + z4) - F(6.0) * (y2 * z2) \
+            - F(6.0) * (x2 * y2) + F(2.0) * (z2 * x2)
+        k4 = (x2 - y2) + z2
+        wx_new = px + F(64.0) * ((((x * y) * z) * (x2 - z2)) * k4) \
+            * ((x4 - F(6.0) * (x2 * z2)) + z4) * k1 * k2
+        wy_new = py + (F(-16.0) * (y2 * k3) * (k4 * k4) + k1 * k1)
+        wz_new = pz + F(-8.0) * (y * k4) \
+            * ((((x4 * x4) - F(28.0) * ((x4 * x2) * z2))
+                + F(70.0) * (x4 * z4))
+               - F(28.0) * ((x2 * z2) * z4) + (z4 * z4)) * k1 * k2
         wx = np.where(active, wx_new, wx)
         wy = np.where(active, wy_new, wy)
         wz = np.where(active, wz_new, wz)

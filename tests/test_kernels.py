@@ -1,0 +1,86 @@
+"""Pallas kernel vs jnp-twin parity (SURVEY.md §4.3).
+
+On the CPU test backend the kernels run in interpret mode, which executes
+the same jnp ops as the twin — agreement here localizes any TPU-side
+difference to Mosaic lowering rather than the algorithm.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from surfjax.core.camera import camera_ray_dirs_dyn
+from surfjax.kernels.render_tile import (
+    render_rays_pallas, render_tile_kernel, scene_march_twin, _pad_rays,
+)
+from surfjax.pipeline.frame import render_rays
+
+from tests.scenes import config2_csg, config3_sdf
+
+
+def _rays(cam):
+    intr = cam.intrinsics
+    rows = np.repeat(np.arange(intr.height, dtype=np.float32), intr.width)
+    cols = np.tile(np.arange(intr.width, dtype=np.float32), intr.height)
+    R = jnp.asarray(np.asarray(cam.rotation, np.float32).reshape(9))
+    d = camera_ray_dirs_dyn(intr, R, jnp.asarray(rows), jnp.asarray(cols))
+    pos = np.asarray(cam.position, np.float32)
+    o = tuple(jnp.full(rows.shape, pos[i], jnp.float32) for i in range(3))
+    return o, d
+
+
+def test_kernel_matches_twin_config3():
+    scene, cam, settings = config3_sdf(size=64)
+    settings = settings.with_(tile_rows=8, max_steps=128)
+    static, params = scene.freeze()
+    params = {k: jnp.asarray(v) for k, v in params.items()}
+    o, d = _rays(cam)
+
+    (ox, oy, oz, dx, dy, dz), n = _pad_rays(
+        (o[0], o[1], o[2], d[0], d[1], d[2]), settings.tile_rows)
+    t_k, obj_k, n_k, ao_k, hit_k = render_tile_kernel(
+        static, settings, params["leaf_params"], params["node_params"],
+        (ox, oy, oz), (dx, dy, dz))
+    t_t, obj_t, n_t, ao_t, hit_t = scene_march_twin(
+        static, settings, params["leaf_params"], params["node_params"],
+        (ox, oy, oz), (dx, dy, dz))
+
+    np.testing.assert_array_equal(np.asarray(hit_k), np.asarray(hit_t))
+    np.testing.assert_array_equal(np.asarray(obj_k), np.asarray(obj_t))
+    np.testing.assert_allclose(np.asarray(t_k), np.asarray(t_t), atol=1e-5)
+    # per-tile vs whole-batch early exit converges t to slightly different
+    # bits (<=1e-5); AO/normals amplify that — tolerance accordingly
+    np.testing.assert_allclose(np.asarray(ao_k), np.asarray(ao_t), atol=1e-3)
+    for a, b in zip(n_k, n_t):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
+
+
+def test_pallas_backend_matches_jnp_backend_config2():
+    """Analytic scene: identical semantics, tight agreement end-to-end."""
+    scene, cam, settings = config2_csg(size=64)
+    static, params = scene.freeze()
+    params = {k: jnp.asarray(v) for k, v in params.items()}
+    o, d = _rays(cam)
+    fb_j = render_rays(static, settings, params, o, d)
+    fb_p = render_rays_pallas(static, settings.with_(tile_rows=8), params,
+                              o, d)
+    np.testing.assert_array_equal(np.asarray(fb_j.hit), np.asarray(fb_p.hit))
+    np.testing.assert_array_equal(np.asarray(fb_j.obj_id),
+                                  np.asarray(fb_p.obj_id))
+    np.testing.assert_allclose(np.asarray(fb_j.rgb), np.asarray(fb_p.rgb),
+                               atol=2e-5)
+
+
+def test_pallas_backend_config3_tolerance():
+    """SDF scene: scene-min march vs per-object march; hits must agree and
+    non-chaotic pixels must be tight (Mandelbulb carve-out)."""
+    scene, cam, settings = config3_sdf(size=64)
+    static, params = scene.freeze()
+    params = {k: jnp.asarray(v) for k, v in params.items()}
+    o, d = _rays(cam)
+    fb_j = render_rays(static, settings, params, o, d)
+    fb_p = render_rays_pallas(static, settings.with_(tile_rows=8), params,
+                              o, d)
+    assert (np.asarray(fb_j.hit) == np.asarray(fb_p.hit)).mean() > 0.995
+    d_rgb = np.abs(np.asarray(fb_j.rgb) - np.asarray(fb_p.rgb))
+    assert np.quantile(d_rgb, 0.99) < 5e-2
