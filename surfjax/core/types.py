@@ -20,6 +20,7 @@ class RenderSettings:
     t_min: float = 1e-3
     t_max: float = 1e4
     hit_eps: float = 1e-3         # SDF hit threshold
+    over_relax: float = 1.4       # kernel-path over-relaxed march (1.0=off)
     normal_eps: float = 5e-4      # FD-normal tetrahedron offset
     normals: str = "auto"         # "auto" (analytic where possible) | "fd"
     # secondary rays

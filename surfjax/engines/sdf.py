@@ -123,6 +123,73 @@ def sdf_mandelbulb(prm, p, power: int, iterations: int):
     return de * scale
 
 
+def sdf_mandelbulb_while(prm, p, power: int, iterations: int):
+    """sdf_mandelbulb with the iteration as a lax.while_loop that exits as
+    soon as every lane has escaped. Identical arithmetic to the unrolled
+    version (same masked updates), but far-from-the-bulb evaluation costs
+    1-2 iterations instead of all of them. Used on the kernel path only
+    (the unrolled version stays reverse-differentiable for the IFT vjp).
+    Mosaic-safe: f32 escape mask, scalar trip count.
+    """
+    if power != 8:
+        raise NotImplementedError("Mandelbulb: only power=8 is specialized")
+    c = (prm[0], prm[1], prm[2])
+    scale = prm[3]
+    bailout2 = prm[4] * prm[4] * F32(16.0)
+    inv_s = F32(1.0) / scale
+    px = (p[0] - c[0]) * inv_s
+    py = (p[1] - c[1]) * inv_s
+    pz = (p[2] - c[2]) * inv_s
+    m0 = (px * px + py * py) + pz * pz
+    esc0 = jnp.where(m0 > bailout2, F32(1.0), F32(0.0))
+    tiny = F32(1e-4)
+
+    def cond(s):
+        i, _, _, _, _, _, esc = s
+        return (i < iterations) & (jnp.min(esc) < F32(0.5))
+
+    def body(s):
+        i, wx, wy, wz, dz, m, esc = s
+        active = esc < F32(0.5)
+        m2 = m * m
+        m4 = m2 * m2
+        dz_new = F32(8.0) * jnp.sqrt((m4 * m2) * m) * dz + F32(1.0)
+        x, y, z = wx, wy, wz
+        x2 = x * x
+        x4 = x2 * x2
+        y2 = y * y
+        y4 = y2 * y2
+        z2 = z * z
+        z4 = z2 * z2
+        k3 = x2 + z2
+        k3s = jnp.maximum(k3, tiny)
+        k37 = ((k3s * k3s) * (k3s * k3s)) * ((k3s * k3s) * k3s)
+        k2 = F32(1.0) / jnp.sqrt(k37)
+        k1 = ((x4 + y4) + z4) - F32(6.0) * (y2 * z2) \
+            - F32(6.0) * (x2 * y2) + F32(2.0) * (z2 * x2)
+        k4 = (x2 - y2) + z2
+        wx_new = px + F32(64.0) * ((((x * y) * z) * (x2 - z2)) * k4) \
+            * ((x4 - F32(6.0) * (x2 * z2)) + z4) * k1 * k2
+        wy_new = py + (F32(-16.0) * (y2 * k3) * (k4 * k4) + k1 * k1)
+        wz_new = pz + F32(-8.0) * (y * k4) \
+            * ((((x4 * x4) - F32(28.0) * ((x4 * x2) * z2))
+                + F32(70.0) * (x4 * z4))
+               - F32(28.0) * ((x2 * z2) * z4) + (z4 * z4)) * k1 * k2
+        wx = jnp.where(active, wx_new, wx)
+        wy = jnp.where(active, wy_new, wy)
+        wz = jnp.where(active, wz_new, wz)
+        dz = jnp.where(active, dz_new, dz)
+        m = jnp.where(active, (wx * wx + wy * wy) + wz * wz, m)
+        esc = jnp.maximum(esc, jnp.where(m > bailout2, F32(1.0), F32(0.0)))
+        return i + 1, wx, wy, wz, dz, m, esc
+
+    _, _, _, _, dz, m, _ = jax.lax.while_loop(
+        cond, body, (0, px, py, pz, jnp.ones_like(m0), m0, esc0))
+    r = jnp.sqrt(m)
+    de = F32(0.25) * jnp.log(m) * r / dz
+    return de * scale
+
+
 def leaf_sdf(kind: int, prm, p, p0: int = 0, p1: int = 0):
     if kind == LEAF_SPHERE:
         return sdf_sphere(prm, p)
@@ -135,18 +202,29 @@ def leaf_sdf(kind: int, prm, p, p0: int = 0, p1: int = 0):
     raise ValueError(f"sdf engine: unsupported leaf kind {kind}")
 
 
+def leaf_sdf_fast(kind: int, prm, p, p0: int = 0, p1: int = 0):
+    """Kernel-path leaf SDF: while-loop Mandelbulb with batch early exit."""
+    if kind == LEAF_MANDELBULB:
+        return sdf_mandelbulb_while(prm, p, p0, p1)
+    return leaf_sdf(kind, prm, p, p0, p1)
+
+
 # ---------------------------------------------------------------------------
 # CSG tape over SDF values (smooth-min blends: Quilez polynomial forms)
 # ---------------------------------------------------------------------------
 
-def eval_sdf(oir: ObjectIR, leaf_params, node_params, p):
-    """Object SDF at points p = (x, y, z) arrays. Statically unrolled tape."""
+def eval_sdf(oir: ObjectIR, leaf_params, node_params, p, leaf_fn=None):
+    """Object SDF at points p = (x, y, z) arrays. Statically unrolled tape.
+
+    leaf_fn overrides leaf evaluation (kernels pass leaf_sdf_fast).
+    """
+    leaf_fn = leaf_fn or leaf_sdf
     vals = []
     for nd in oir.nodes:
         if nd.op == OP_LEAF:
             lf = oir.leaves[nd.leaf]
-            vals.append(leaf_sdf(lf.kind, leaf_params[lf.slot], p,
-                                 lf.p0, lf.p1))
+            vals.append(leaf_fn(lf.kind, leaf_params[lf.slot], p,
+                                lf.p0, lf.p1))
         elif nd.op == OP_UNION:
             vals.append(jnp.minimum(vals[nd.a], vals[nd.b]))
         elif nd.op == OP_INTERSECT:

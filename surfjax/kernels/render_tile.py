@@ -93,43 +93,199 @@ def _split(static: SceneWithMeshes):
 
 
 def _scene_sdf(sdf_objs, lp, nparams, p):
-    v = eval_sdf(sdf_objs[0][1], lp, nparams, p)
+    from surfjax.engines.sdf import leaf_sdf_fast
+    v = eval_sdf(sdf_objs[0][1], lp, nparams, p, leaf_fn=leaf_sdf_fast)
     for _, oir in sdf_objs[1:]:
-        v = jnp.minimum(v, eval_sdf(oir, lp, nparams, p))
+        v = jnp.minimum(v, eval_sdf(oir, lp, nparams, p,
+                                    leaf_fn=leaf_sdf_fast))
     return v
 
 
-def _march(sdf_fn, o, d, t_start, t_clip, max_steps: int, hit_eps: float):
+# ---------------------------------------------------------------------------
+# Proxy (lower-bound) scene SDF for the two-phase march.
+#
+# For each SDF object that contains only bounded leaves (sphere/box/
+# mandelbulb), a single bounding sphere is derived from its leaf scalars:
+# sdf_bound(p) = |p-c| - R <= sdf_object(p) everywhere outside. Cheap objects
+# (<= 2 nodes) and unboundable ones (plane leaves) contribute their exact
+# SDF. The proxy is therefore a pointwise LOWER bound of the scene SDF, so
+# marching it can never overshoot a true surface — phase 1 is sound.
+# ---------------------------------------------------------------------------
+
+_BOUNDED_KINDS = None  # set lazily to avoid import cycle
+
+
+def _leaf_bound_scalars(lf, lp):
+    """(cx, cy, cz, radius) scalars for one bounded leaf."""
+    from surfjax.core.scene_compile import (
+        LEAF_BOX, LEAF_MANDELBULB, LEAF_SPHERE,
+    )
+    prm = lp[lf.slot]
+    if lf.kind == LEAF_SPHERE:
+        return prm[0], prm[1], prm[2], prm[3]
+    if lf.kind == LEAF_BOX:
+        r = jnp.sqrt((prm[3] * prm[3] + prm[4] * prm[4]) + prm[5] * prm[5])
+        return prm[0], prm[1], prm[2], r
+    if lf.kind == LEAF_MANDELBULB:
+        return prm[0], prm[1], prm[2], prm[3] * F32(1.3)
+    return None
+
+
+def _object_bound(oir, lp, nparams):
+    """Bounding sphere scalars of one SDF object, or None if unboundable.
+
+    Smooth unions can push the surface outward by at most k/4 (polynomial
+    smin >= min - k/4); that margin is added.
+    """
+    from surfjax.core.scene_compile import LEAF_PLANE
+    if any(lf.kind == LEAF_PLANE for lf in oir.leaves):
+        return None
+    bounds = [_leaf_bound_scalars(lf, lp) for lf in oir.leaves]
+    if any(b is None for b in bounds):
+        return None
+    n = float(len(bounds))
+    cx = sum(b[0] for b in bounds) * F32(1.0 / n)
+    cy = sum(b[1] for b in bounds) * F32(1.0 / n)
+    cz = sum(b[2] for b in bounds) * F32(1.0 / n)
+    R = None
+    for bx, by, bz, br in bounds:
+        dx, dy, dz = bx - cx, by - cy, bz - cz
+        rr = jnp.sqrt((dx * dx + dy * dy) + dz * dz) + br
+        R = rr if R is None else jnp.maximum(R, rr)
+    k_margin = F32(0.0)
+    for nd in oir.nodes:
+        if nd.pslot >= 0:
+            k_margin = k_margin + nparams[nd.pslot, 0] * F32(0.25)
+    return cx, cy, cz, R + k_margin
+
+
+def _proxy_sdf_fn(sdf_objs, lp, nparams):
+    """-> (proxy_fn or None). None means no object benefits from a proxy."""
+    parts = []
+    any_bounded_expensive = False
+    for _, oir in sdf_objs:
+        cheap = len(oir.nodes) <= 2
+        b = None if cheap else _object_bound(oir, lp, nparams)
+        if b is None:
+            parts.append(("exact", oir))
+        else:
+            parts.append(("bound", b))
+            any_bounded_expensive = True
+    if not any_bounded_expensive:
+        return None
+
+    def proxy(p):
+        v = None
+        for kind, payload in parts:
+            if kind == "exact":
+                h = eval_sdf(payload, lp, nparams, p)
+            else:
+                cx, cy, cz, R = payload
+                dx = p[0] - cx
+                dy = p[1] - cy
+                dz = p[2] - cz
+                h = jnp.sqrt((dx * dx + dy * dy) + dz * dz) - R
+            v = h if v is None else jnp.minimum(v, h)
+        return v
+
+    return proxy
+
+
+def _march(sdf_fn, o, d, t_start, t_clip, max_steps: int, hit_eps: float,
+           t_init=None, relax: float = 1.0):
     """Bounded scene march with per-tile early exit. f32 mask carries.
 
     Returns (t, hit_f) where hit_f is a 0/1 f32 mask. Lanes whose t_clip is
     already below t_start skip the march entirely (done at trip 0).
+    t_init overrides the per-lane starting t (two-phase handoff).
+
+    relax > 1 enables over-relaxed sphere tracing (Keinert et al. style):
+    step by relax*h; if the relaxed step is detected to have skipped past
+    non-overlapping safety spheres (st_prev > h_prev + |h|), retreat to the
+    conservative point and continue unrelaxed for one step — no surface can
+    be missed.
     """
     eps = F32(hit_eps)
-    t0 = jnp.full_like(o[0], t_start)
+    w = F32(relax)
+    t0 = jnp.full_like(o[0], t_start) if t_init is None else t_init
     done0 = jnp.where(t0 >= t_clip, F32(1.0), F32(0.0))
     hit0 = jnp.zeros_like(o[0])
+    z0 = jnp.zeros_like(o[0])
 
     def cond(s):
-        i, _, done, _ = s
+        i, _, _, _, done, _ = s
         return (i < max_steps) & (jnp.min(done) < F32(0.5))
 
     def body(s):
-        i, t, done, hit = s
+        i, t, h_prev, st_prev, done, hit = s
         px = o[0] + t * d[0]
         py = o[1] + t * d[1]
         pz = o[2] + t * d[2]
         h = sdf_fn((px, py, pz))
-        hit_now = jnp.where(h < eps, F32(1.0), F32(0.0))
-        over = jnp.where(t > t_clip, F32(1.0), F32(0.0))
+        if relax > 1.0:
+            ovr = jnp.where(st_prev > h_prev + jnp.abs(h),
+                            F32(1.0), F32(0.0))
+        else:
+            ovr = z0
+        ok = F32(1.0) - ovr
+        hit_now = ok * jnp.where(h < eps, F32(1.0), F32(0.0))
+        over = ok * jnp.where(t > t_clip, F32(1.0), F32(0.0))
         active = F32(1.0) - done
         hit = jnp.maximum(hit, hit_now * active)
         done_new = jnp.maximum(done, jnp.maximum(hit_now, over))
-        t = jnp.where(done_new > F32(0.5), t, t + h)
-        return i + 1, t, done_new, hit
+        step = w * h
+        t_fwd = t + step
+        t_retreat = (t - st_prev) + h_prev  # unrelaxed fallback point
+        t_next = jnp.where(ovr > F32(0.5), t_retreat, t_fwd)
+        t = jnp.where(done_new > F32(0.5), t, t_next)
+        h_prev = ok * h
+        st_prev = ok * step
+        return i + 1, t, h_prev, st_prev, done_new, hit
 
-    _, t, _, hit = jax.lax.while_loop(cond, body, (0, t0, done0, hit0))
+    _, t, _, _, _, hit = jax.lax.while_loop(
+        cond, body, (0, t0, z0, z0, done0, hit0))
     return t, hit
+
+
+_PROXY_SWITCH = 0.08  # hand off to the full SDF within this proxy distance
+
+
+def _march2(proxy_fn, sdf_fn, o, d, t_start, t_clip, max_steps: int,
+            hit_eps: float, relax: float = 1.0):
+    """Two-phase march: cheap proxy until near geometry, then full SDF.
+
+    The proxy is a pointwise lower bound of the scene SDF, so phase 1 never
+    oversteps a true surface. Lanes hand off when proxy < _PROXY_SWITCH;
+    phase 2 is the ordinary bounded march continued from the handoff t.
+    """
+    if proxy_fn is None:
+        return _march(sdf_fn, o, d, t_start, t_clip, max_steps, hit_eps,
+                      relax=relax)
+    sw = F32(_PROXY_SWITCH)
+    t0 = jnp.full_like(o[0], t_start)
+    done0 = jnp.where(t0 >= t_clip, F32(1.0), F32(0.0))
+
+    def cond1(s):
+        i, _, done = s
+        return (i < max_steps) & (jnp.min(done) < F32(0.5))
+
+    def body1(s):
+        i, t, done = s
+        px = o[0] + t * d[0]
+        py = o[1] + t * d[1]
+        pz = o[2] + t * d[2]
+        h = proxy_fn((px, py, pz))
+        near = jnp.where(h < sw, F32(1.0), F32(0.0))
+        over = jnp.where(t > t_clip, F32(1.0), F32(0.0))
+        done_new = jnp.maximum(done, jnp.maximum(near, over))
+        t = jnp.where(done_new > F32(0.5), t, t + h)
+        return i + 1, t, done_new
+
+    _, t1, _ = jax.lax.while_loop(cond1, body1, (0, t0, done0))
+    # phase 2 from the handoff point (lanes already past t_clip finish
+    # immediately inside _march via its done0)
+    return _march(sdf_fn, o, d, F32(0.0), t_clip, max_steps, hit_eps,
+                  t_init=t1, relax=relax)
 
 
 def _fd_normal(sdf_fn, p, eps: float):
@@ -168,9 +324,11 @@ def trace_core(static, settings: RenderSettings, lp, nparams, o, d,
 
     if sdf_objs:
         sdf_fn = lambda p: _scene_sdf(sdf_objs, lp, nparams, p)
+        proxy_fn = _proxy_sdf_fn(sdf_objs, lp, nparams)
         t_clip = jnp.minimum(t_a, F32(t_max))
-        t_s, hit_s = _march(sdf_fn, o, d, t_min, t_clip,
-                            settings.max_steps, settings.hit_eps)
+        t_s, hit_s = _march2(proxy_fn, sdf_fn, o, d, t_min, t_clip,
+                             settings.max_steps, settings.hit_eps,
+                             relax=settings.over_relax)
         sdf_wins = (hit_s > F32(0.5)) & (t_s < t_a)
         # which SDF object won: argmin of per-object SDF at the hit point
         if len(sdf_objs) == 1:
@@ -237,24 +395,65 @@ def visibility_core(static, settings: RenderSettings, lp, nparams,
         vis = vis * jnp.where(t_i < dist, F32(0.0), F32(1.0))
     if sdf_objs:
         sdf_fn = lambda p: _scene_sdf(sdf_objs, lp, nparams, p)
+        proxy_fn = _proxy_sdf_fn(sdf_objs, lp, nparams)
         if settings.soft_shadows:
-            vis = vis * _soft_march(sdf_fn, o, l,
-                                    settings.soft_shadow_tmin, dist,
-                                    settings.soft_shadow_k,
-                                    settings.shadow_steps)
+            vis = vis * _soft_march2(proxy_fn, sdf_fn, o, l,
+                                     settings.soft_shadow_tmin, dist,
+                                     settings.soft_shadow_k,
+                                     settings.shadow_steps)
         else:
-            t_s, hit_s = _march(sdf_fn, o, l, eps, dist,
-                                settings.max_steps, settings.hit_eps)
+            t_s, hit_s = _march2(proxy_fn, sdf_fn, o, l, eps, dist,
+                                 settings.max_steps, settings.hit_eps,
+                                 relax=settings.over_relax)
             occ = (hit_s > F32(0.5)) & (t_s < dist)
             vis = vis * jnp.where(occ, F32(0.0), F32(1.0))
     return vis
 
 
-def _soft_march(sdf_fn, o, d, t_start, t_max, k: float, steps: int):
+def _soft_march2(proxy_fn, sdf_fn, o, d, t_start, t_max, k: float,
+                 steps: int):
+    """Two-phase penumbra march, exactly equivalent to the single-phase one.
+
+    Phase 1 marches the lower-bound proxy and hands off as soon as
+    k*h_proxy/t < 1.5 (or h_proxy < switch): since h_true >= h_proxy, every
+    skipped step had k*h_true/t >= 1.5 > 1 >= res and could not have lowered
+    the penumbra accumulator — so skipping it is lossless.
+    """
+    if proxy_fn is None:
+        return _soft_march(sdf_fn, o, d, t_start, t_max, k, steps)
     kf = F32(k)
+    sw = F32(_PROXY_SWITCH)
     t0 = jnp.full_like(o[0], t_start)
+    done0 = jnp.where(t0 > t_max, F32(1.0), F32(0.0))
+
+    def cond1(s):
+        i, _, done = s
+        return (i < steps) & (jnp.min(done) < F32(0.5))
+
+    def body1(s):
+        i, t, done = s
+        px = o[0] + t * d[0]
+        py = o[1] + t * d[1]
+        pz = o[2] + t * d[2]
+        h = proxy_fn((px, py, pz))
+        near = jnp.where((kf * h / t < F32(1.5)) | (h < sw),
+                         F32(1.0), F32(0.0))
+        over = jnp.where(t > t_max, F32(1.0), F32(0.0))
+        done_new = jnp.maximum(done, jnp.maximum(near, over))
+        step = jnp.minimum(jnp.maximum(h, F32(1e-3)), F32(0.5))
+        t = jnp.where(done_new > F32(0.5), t, t + step)
+        return i + 1, t, done_new
+
+    _, t1, _ = jax.lax.while_loop(cond1, body1, (0, t0, done0))
+    return _soft_march(sdf_fn, o, d, t_start, t_max, k, steps, t_init=t1)
+
+
+def _soft_march(sdf_fn, o, d, t_start, t_max, k: float, steps: int,
+                t_init=None):
+    kf = F32(k)
+    t0 = jnp.full_like(o[0], t_start) if t_init is None else t_init
     res0 = jnp.ones_like(o[0])
-    done0 = jnp.zeros_like(o[0])
+    done0 = jnp.where(t0 > t_max, F32(1.0), F32(0.0))
 
     def cond(s):
         i, _, _, done = s
@@ -415,6 +614,56 @@ def scene_march_twin(static, settings: RenderSettings, leaf_params,
 # Full pallas-backend frame: K1 -> secondary batches -> K2 -> shade (XLA)
 # ---------------------------------------------------------------------------
 
+def render_frame_pallas(static, intr, settings: RenderSettings, params,
+                        R_flat, cam_pos) -> FrameBuffers:
+    """Full pallas frame with SQUARE pixel tiles.
+
+    Each (tile_rows, 128) kernel block is a tile_rows x 128 *rectangle of
+    the image*, not a row-major strip — spatial coherence is what makes the
+    per-tile early exit pay (a sky tile exits in a few proxy steps; a
+    fractal tile runs long without holding the rest of the frame hostage).
+    Returns flat row-major FrameBuffers of length H*W.
+    """
+    from surfjax.core.camera import camera_ray_dirs_dyn
+
+    H, W = intr.height, intr.width
+    R = settings.tile_rows
+    H2 = ((H + R - 1) // R) * R
+    W2 = ((W + LANES - 1) // LANES) * LANES
+    ty, tx = H2 // R, W2 // LANES
+
+    rows = jnp.minimum(jnp.arange(H2, dtype=jnp.float32), F32(H - 1))
+    cols = jnp.minimum(jnp.arange(W2, dtype=jnp.float32), F32(W - 1))
+    rr, cc = jnp.meshgrid(rows, cols, indexing="ij")
+
+    def tile_layout(a):
+        return (a.reshape(ty, R, tx, LANES).transpose(0, 2, 1, 3)
+                .reshape(ty * tx * R, LANES))
+
+    def untile(a):
+        a = a.reshape(ty, tx, R, LANES).transpose(0, 2, 1, 3)
+        return a.reshape(H2, W2)[:H, :W].reshape(-1)
+
+    rr_t = tile_layout(rr)
+    cc_t = tile_layout(cc)
+    d = camera_ray_dirs_dyn(intr, R_flat, rr_t, cc_t)
+    o = (jnp.broadcast_to(cam_pos[0], rr_t.shape),
+         jnp.broadcast_to(cam_pos[1], rr_t.shape),
+         jnp.broadcast_to(cam_pos[2], rr_t.shape))
+    fb = _render_padded(static, settings, params, o, d)
+    return FrameBuffers(
+        rgb=jnp.stack([untile(fb.rgb[..., 0].reshape(o[0].shape)),
+                       untile(fb.rgb[..., 1].reshape(o[0].shape)),
+                       untile(fb.rgb[..., 2].reshape(o[0].shape))], axis=-1),
+        depth=untile(fb.depth.reshape(o[0].shape)),
+        normal=jnp.stack([untile(fb.normal[..., i].reshape(o[0].shape))
+                          for i in range(3)], axis=-1),
+        hit=untile(fb.hit.reshape(o[0].shape)),
+        obj_id=untile(fb.obj_id.astype(jnp.float32)
+                      .reshape(o[0].shape)).astype(jnp.int32),
+    )
+
+
 def _pad_rays(arrs, rows: int):
     """Flat (N,) ray components -> (rows_total, 128) padded by edge-repeat."""
     n = arrs[0].shape[0]
@@ -429,7 +678,23 @@ def _pad_rays(arrs, rows: int):
 
 def render_rays_pallas(static, settings: RenderSettings, params, o, d
                        ) -> FrameBuffers:
-    """Pallas-backend equivalent of pipeline.frame.render_rays."""
+    """Pallas-backend render of a flat ray batch (pads to tile multiple)."""
+    (ox, oy, oz, dx, dy, dz), n_rays = _pad_rays(
+        (o[0], o[1], o[2], d[0], d[1], d[2]), settings.tile_rows)
+    fb = _render_padded(static, settings, params,
+                        (ox, oy, oz), (dx, dy, dz))
+
+    def unpad(a):
+        return a[:n_rays] if a.ndim == 1 else a[:n_rays, :]
+
+    return FrameBuffers(rgb=unpad(fb.rgb), depth=unpad(fb.depth),
+                        normal=unpad(fb.normal), hit=unpad(fb.hit),
+                        obj_id=unpad(fb.obj_id))
+
+
+def _render_padded(static, settings: RenderSettings, params, o2, d2
+                   ) -> FrameBuffers:
+    """Core pallas frame on (rows_total, 128)-tiled rays; flat outputs."""
     from surfjax.core.scene_compile import (
         LIGHT_DIRECTIONAL, LIGHT_POINT,
     )
@@ -442,10 +707,8 @@ def render_rays_pallas(static, settings: RenderSettings, params, o, d
 
     lp = params["leaf_params"]
     nparams = params["node_params"]
-    R = settings.tile_rows
-
-    (ox, oy, oz, dx, dy, dz), n_rays = _pad_rays(
-        (o[0], o[1], o[2], d[0], d[1], d[2]), R)
+    ox, oy, oz = o2
+    dx, dy, dz = d2
     t, obj, n, ao, hit_f = render_tile_kernel(
         static, settings, lp, nparams, (ox, oy, oz), (dx, dy, dz))
 
@@ -494,16 +757,16 @@ def render_rays_pallas(static, settings: RenderSettings, params, o, d
         g = jnp.where(sel, gi, g)
         b = jnp.where(sel, bi, b)
 
-    def unpad(a):
-        return a.reshape(-1)[:n_rays]
+    def flat(a):
+        return a.reshape(-1)
 
-    hitf = unpad(hit_f)
+    hitf = flat(hit_f)
     return FrameBuffers(
-        rgb=jnp.stack([unpad(r), unpad(g), unpad(b)], axis=-1),
-        depth=unpad(t_sane),
-        normal=jnp.stack([unpad(n[0]) * hitf, unpad(n[1]) * hitf,
-                          unpad(n[2]) * hitf], axis=-1),
+        rgb=jnp.stack([flat(r), flat(g), flat(b)], axis=-1),
+        depth=flat(t_sane),
+        normal=jnp.stack([flat(n[0]) * hitf, flat(n[1]) * hitf,
+                          flat(n[2]) * hitf], axis=-1),
         hit=hitf,
-        obj_id=jnp.where(hitf > F32(0.5), unpad(obj).astype(jnp.int32),
+        obj_id=jnp.where(hitf > F32(0.5), flat(obj).astype(jnp.int32),
                          jnp.int32(-1)),
     )

@@ -237,15 +237,16 @@ def _pixel_grid(intr: Intrinsics):
 def frame_step(static, intr: Intrinsics, settings: RenderSettings, params,
                R_flat, cam_pos) -> FrameBuffers:
     """Trace+shade one full frame (flat), reshape to (H, W, ...)."""
-    rr, cc = _pixel_grid(intr)
-    d = camera_ray_dirs_dyn(intr, R_flat, rr, cc)
-    o = (jnp.broadcast_to(cam_pos[0], rr.shape),
-         jnp.broadcast_to(cam_pos[1], rr.shape),
-         jnp.broadcast_to(cam_pos[2], rr.shape))
     if settings.backend == "pallas":
-        from surfjax.kernels.render_tile import render_rays_pallas
-        fb = render_rays_pallas(static, settings, params, o, d)
+        from surfjax.kernels.render_tile import render_frame_pallas
+        fb = render_frame_pallas(static, intr, settings, params, R_flat,
+                                 cam_pos)
     else:
+        rr, cc = _pixel_grid(intr)
+        d = camera_ray_dirs_dyn(intr, R_flat, rr, cc)
+        o = (jnp.broadcast_to(cam_pos[0], rr.shape),
+             jnp.broadcast_to(cam_pos[1], rr.shape),
+             jnp.broadcast_to(cam_pos[2], rr.shape))
         fb = render_rays(static, settings, params, o, d)
     H, W = intr.height, intr.width
     return FrameBuffers(

@@ -79,8 +79,9 @@ def test_pallas_backend_config3_tolerance():
     params = {k: jnp.asarray(v) for k, v in params.items()}
     o, d = _rays(cam)
     fb_j = render_rays(static, settings, params, o, d)
-    fb_p = render_rays_pallas(static, settings.with_(tile_rows=8), params,
-                              o, d)
+    fb_p = render_rays_pallas(static,
+                              settings.with_(tile_rows=8, over_relax=1.0),
+                              params, o, d)
     assert (np.asarray(fb_j.hit) == np.asarray(fb_p.hit)).mean() > 0.995
     d_rgb = np.abs(np.asarray(fb_j.rgb) - np.asarray(fb_p.rgb))
     assert np.quantile(d_rgb, 0.99) < 5e-2
