@@ -119,6 +119,7 @@ class TriangleMesh(SceneNode):
     vertices: object
     faces: object
     grid_res: Optional[Tuple[int, int, int]] = None  # None = auto from tri count
+    smooth: bool = True    # barycentric-interpolated vertex normals
 
     def __hash__(self):
         return id(self)

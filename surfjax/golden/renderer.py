@@ -451,7 +451,8 @@ def _intersect_mesh_brute(mesh: api.TriangleMesh, o, d, t_min, t_max):
     return t_best, tri_best
 
 
-def _mesh_normal(mesh: api.TriangleMesh, tri_id, shape):
+def _mesh_normal(mesh: api.TriangleMesh, p, tri_id):
+    """Barycentric-interpolated vertex normals (smooth) or geometric."""
     verts = np.asarray(mesh.vertices, np.float32)
     faces = np.asarray(mesh.faces, np.int32)
     v0 = verts[faces[tri_id, 0]]
@@ -461,10 +462,42 @@ def _mesh_normal(mesh: api.TriangleMesh, tri_id, shape):
           v1[..., 2] - v0[..., 2])
     e2 = (v2[..., 0] - v0[..., 0], v2[..., 1] - v0[..., 1],
           v2[..., 2] - v0[..., 2])
-    n = (e1[1] * e2[2] - e1[2] * e2[1],
-         e1[2] * e2[0] - e1[0] * e2[2],
-         e1[0] * e2[1] - e1[1] * e2[0])
-    return _normalize(n)
+    if not getattr(mesh, "smooth", True):
+        n = (e1[1] * e2[2] - e1[2] * e2[1],
+             e1[2] * e2[0] - e1[0] * e2[2],
+             e1[0] * e2[1] - e1[1] * e2[0])
+        return _normalize(n)
+    # area-weighted vertex normals (independent golden computation)
+    gv0 = verts[faces[:, 0]]
+    gv1 = verts[faces[:, 1]]
+    gv2 = verts[faces[:, 2]]
+    gn = np.cross(gv1 - gv0, gv2 - gv0)
+    vn = np.zeros_like(verts)
+    for k in range(3):
+        np.add.at(vn, faces[:, k], gn)
+    vl = np.sqrt((vn * vn).sum(-1, keepdims=True))
+    vn = vn / np.maximum(vl, 1e-20)
+    # barycentric coords of p
+    wx = p[0] - v0[..., 0]
+    wy = p[1] - v0[..., 1]
+    wz = p[2] - v0[..., 2]
+    d11 = (e1[0] * e1[0] + e1[1] * e1[1]) + e1[2] * e1[2]
+    d12 = (e1[0] * e2[0] + e1[1] * e2[1]) + e1[2] * e2[2]
+    d22 = (e2[0] * e2[0] + e2[1] * e2[1]) + e2[2] * e2[2]
+    dw1 = (wx * e1[0] + wy * e1[1]) + wz * e1[2]
+    dw2 = (wx * e2[0] + wy * e2[1]) + wz * e2[2]
+    denom = d11 * d22 - d12 * d12
+    denom = np.where(np.abs(denom) < F(1e-20), F(1e-20), denom)
+    u = (d22 * dw1 - d12 * dw2) / denom
+    v = (d11 * dw2 - d12 * dw1) / denom
+    w = F(1.0) - u - v
+    n0 = vn[faces[tri_id, 0]]
+    n1 = vn[faces[tri_id, 1]]
+    n2 = vn[faces[tri_id, 2]]
+    nxs = (w * n0[..., 0] + u * n1[..., 0]) + v * n2[..., 0]
+    nys = (w * n0[..., 1] + u * n1[..., 1]) + v * n2[..., 1]
+    nzs = (w * n0[..., 2] + u * n1[..., 2]) + v * n2[..., 2]
+    return _normalize((nxs, nys, nzs))
 
 
 # ---------------------------------------------------------------------------
@@ -543,7 +576,7 @@ def render(scene: api.Scene, camera: api.Camera,
     nz = np.ones_like(p[0])
     for i, ob in enumerate(objs):
         if ob.is_mesh:
-            n_i = _mesh_normal(ob.mesh, leaf_id, p[0].shape)
+            n_i = _mesh_normal(ob.mesh, p, leaf_id)
         elif (not ob.is_sdf) and settings.normals == "auto":
             lnx = np.zeros_like(p[0])
             lny = np.zeros_like(p[0])
@@ -566,8 +599,33 @@ def render(scene: api.Scene, camera: api.Camera,
     s = np.where(flip, F(-1.0), F(1.0))
     n = (nx * s, ny * s, nz * s)
 
+    # secondary-ray origins offset along the GEOMETRIC normal for meshes
+    # (mirrors pipeline/frame.py; avoids shadow-terminator acne)
+    n_off = n
+    for i, ob in enumerate(objs):
+        if ob.is_mesh:
+            verts = np.asarray(ob.mesh.vertices, np.float32)
+            faces = np.asarray(ob.mesh.faces, np.int32)
+            gv0 = verts[faces[leaf_id, 0]]
+            gv1 = verts[faces[leaf_id, 1]]
+            gv2 = verts[faces[leaf_id, 2]]
+            ge1 = (gv1[..., 0] - gv0[..., 0], gv1[..., 1] - gv0[..., 1],
+                   gv1[..., 2] - gv0[..., 2])
+            ge2 = (gv2[..., 0] - gv0[..., 0], gv2[..., 1] - gv0[..., 1],
+                   gv2[..., 2] - gv0[..., 2])
+            gn = _normalize((ge1[1] * ge2[2] - ge1[2] * ge2[1],
+                             ge1[2] * ge2[0] - ge1[0] * ge2[2],
+                             ge1[0] * ge2[1] - ge1[1] * ge2[0]))
+            gflip = _dot(gn, d) > F(0.0)
+            gs = np.where(gflip, F(-1.0), F(1.0))
+            sel = obj_id == np.int32(i)
+            n_off = (np.where(sel, gn[0] * gs, n_off[0]),
+                     np.where(sel, gn[1] * gs, n_off[1]),
+                     np.where(sel, gn[2] * gs, n_off[2]))
+
     eps = F(settings.shadow_eps)
-    p_off = (p[0] + n[0] * eps, p[1] + n[1] * eps, p[2] + n[2] * eps)
+    p_off = (p[0] + n_off[0] * eps, p[1] + n_off[1] * eps,
+             p[2] + n_off[2] * eps)
 
     nonmesh = [ob for ob in objs if not ob.is_mesh]
 

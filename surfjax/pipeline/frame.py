@@ -103,7 +103,7 @@ def compute_normals(static: SceneWithMeshes, settings: RenderSettings,
         else:
             from surfjax.engines.mesh import mesh_normal
             n_i = mesh_normal(static.mesh_static[oir.mesh], oir.mesh, params,
-                              hit.leaf_id)
+                              p, hit.leaf_id)
         sel = hit.obj_id == jnp.int32(i)
         nx = jnp.where(sel, n_i[0], nx)
         ny = jnp.where(sel, n_i[1], ny)
@@ -184,8 +184,24 @@ def render_rays(static: SceneWithMeshes, settings: RenderSettings, params,
     t = jnp.where(hit.mask, hit.t, F32(0.0))
     p = (o[0] + t * d[0], o[1] + t * d[1], o[2] + t * d[2])
     n = compute_normals(static, settings, params, p, hit, d)
+    # secondary-ray origins offset along the GEOMETRIC normal for meshes —
+    # smooth (barycentric) normals can push the origin under the adjacent
+    # facet's plane and produce shadow-terminator acne
+    n_off = n
+    for i, oir in enumerate(ir.objects):
+        if oir.engine == ENGINE_MESH:
+            from surfjax.engines.mesh import _mesh_arrays
+            tri_n = _mesh_arrays(params, oir.mesh)["tri_n"][hit.leaf_id]
+            gx, gy, gz = tri_n[:, 0], tri_n[:, 1], tri_n[:, 2]
+            flip = (gx * d[0] + gy * d[1]) + gz * d[2] > F32(0.0)
+            s = jnp.where(flip, F32(-1.0), F32(1.0))
+            sel = hit.obj_id == jnp.int32(i)
+            n_off = (jnp.where(sel, gx * s, n_off[0]),
+                     jnp.where(sel, gy * s, n_off[1]),
+                     jnp.where(sel, gz * s, n_off[2]))
     eps = F32(settings.shadow_eps)
-    p_off = (p[0] + n[0] * eps, p[1] + n[1] * eps, p[2] + n[2] * eps)
+    p_off = (p[0] + n_off[0] * eps, p[1] + n_off[1] * eps,
+             p[2] + n_off[2] * eps)
 
     scene_sdf = _nonmesh_scene_sdf(static, params)
     light_terms = light_visibility(static, settings, params, p_off, scene_sdf)

@@ -1,0 +1,77 @@
+"""Mesh engine tests: grid-DDA vs brute force, Moller-Trumbore edge cases,
+config-4 golden parity (SURVEY.md §4.2, BASELINE.json:10)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from surfjax import Material, Scene, TriangleMesh, render
+from surfjax.core.camera import camera_ray_dirs_dyn
+from surfjax.engines.mesh import build_grid, intersect_mesh
+from surfjax.golden import renderer as golden
+from surfjax.meshgen import octasphere
+
+from tests.scenes import config4_mesh
+
+
+def _grid_vs_brute(mesh, o, d, t_min=1e-3, t_max=1e4):
+    scene = Scene().add(mesh, Material.lambert())
+    static, params = scene.freeze()
+    params = {k: jnp.asarray(v) for k, v in params.items()}
+    t_g, tri_g = intersect_mesh(static.mesh_static[0], 0, params, o, d,
+                                t_min, t_max)
+    t_b, tri_b = golden._intersect_mesh_brute(
+        mesh, tuple(np.asarray(c) for c in o),
+        tuple(np.asarray(c) for c in d), np.float32(t_min),
+        np.float32(t_max))
+    return np.asarray(t_g), np.asarray(tri_g), t_b, tri_b
+
+
+def test_grid_matches_brute_force(rng):
+    v, f = octasphere(2)
+    v = v * 0.8
+    v[:, 2] += 3.0
+    mesh = TriangleMesh(vertices=v, faces=f)
+    n = 512
+    ang = rng.uniform(-0.35, 0.35, (2, n)).astype(np.float32)
+    dx = np.sin(ang[0])
+    dy = np.sin(ang[1])
+    dz = np.sqrt(1.0 - dx * dx - dy * dy).astype(np.float32)
+    o = tuple(jnp.zeros(n, jnp.float32) for _ in range(3))
+    d = (jnp.asarray(dx), jnp.asarray(dy), jnp.asarray(dz))
+    t_g, tri_g, t_b, tri_b = _grid_vs_brute(mesh, o, d)
+    hit_g = t_g < 1e29
+    hit_b = t_b < 1e29
+    np.testing.assert_array_equal(hit_g, hit_b)
+    np.testing.assert_allclose(t_g[hit_g], t_b[hit_b], rtol=1e-5)
+    # triangle ids can differ only at shared edges; t agreement is the check
+
+
+def test_grid_ray_from_inside(rng):
+    v, f = octasphere(1)
+    v = v * 1.0
+    mesh = TriangleMesh(vertices=v, faces=f)
+    # origin inside the sphere mesh
+    n = 64
+    ang = np.linspace(0, 2 * np.pi, n, endpoint=False).astype(np.float32)
+    d = (jnp.asarray(np.cos(ang)), jnp.asarray(np.sin(ang)),
+         jnp.zeros(n, jnp.float32))
+    o = tuple(jnp.zeros(n, jnp.float32) for _ in range(3))
+    t_g, _, t_b, _ = _grid_vs_brute(mesh, o, d)
+    np.testing.assert_allclose(t_g, t_b, rtol=1e-5)
+    assert (t_g < 2.0).all()  # all rays hit from inside
+
+
+def test_config4_parity():
+    scene, cam, settings = config4_mesh(width=192, height=108)
+    fb = render(scene, cam, settings)
+    gold = golden.render(scene, cam, settings)
+    hit_agree = (np.asarray(fb.hit) == gold["hit"]).mean()
+    assert hit_agree > 0.999, f"hit masks agree {hit_agree}"
+    d = np.abs(np.asarray(fb.rgb).astype(np.float64)
+               - gold["rgb"].astype(np.float64))
+    assert d.max() < 1e-3, f"config4 rgb deviates {d.max()}"
+    dn = np.abs(np.asarray(fb.normal) - gold["normal"])
+    assert dn.max() < 1e-3
+    # G-buffer sanity: depth and normal populated on hits
+    assert (np.asarray(fb.depth)[np.asarray(fb.hit) > 0] > 0).all()
