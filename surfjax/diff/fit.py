@@ -1,0 +1,159 @@
+"""Inverse rendering: pose and SDF-parameter fitting (component 19).
+
+BASELINE.json:11 — "differentiable render: gradients through the raymarcher
+for inverse pose/SDF fitting". The forward model is the ordinary frame
+pipeline; gradients flow through the march via the IFT custom_vjp
+(engines/sdf.sphere_trace) and through shading/normals by plain AD.
+Optimizer: optax Adam. The whole fit step is one jitted program; the only
+host interaction is the outer step loop (SURVEY.md §3.3).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from surfjax.core.camera import camera_ray_dirs_dyn
+from surfjax.core.math import F32
+from surfjax.core.types import RenderSettings
+from surfjax.pipeline.frame import render_rays
+
+
+def rodrigues(w):
+    """Rotation matrix (9,) row-major from an axis-angle 3-vector (traced).
+
+    R = I + sin(t) K + (1 - cos(t)) K^2, t = |w|, K = skew(w/t).
+    Safe at t -> 0.
+    """
+    t2 = jnp.sum(w * w)
+    t = jnp.sqrt(t2 + F32(1e-20))
+    safe = t > F32(1e-8)
+    kx, ky, kz = w[0] / t, w[1] / t, w[2] / t
+    s = jnp.sin(t)
+    c = jnp.cos(t)
+    one_c = F32(1.0) - c
+    R = jnp.stack([
+        c + kx * kx * one_c, kx * ky * one_c - kz * s,
+        kx * kz * one_c + ky * s,
+        ky * kx * one_c + kz * s, c + ky * ky * one_c,
+        ky * kz * one_c - kx * s,
+        kz * kx * one_c - ky * s, kz * ky * one_c + kx * s,
+        c + kz * kz * one_c,
+    ])
+    eye = jnp.asarray([1, 0, 0, 0, 1, 0, 0, 0, 1], jnp.float32)
+    return jnp.where(safe, R, eye)
+
+
+def _matmul9(a, b):
+    """(9,) row-major 3x3 product a @ b."""
+    a = a.reshape(3, 3)
+    b = b.reshape(3, 3)
+    return (a @ b).reshape(9)
+
+
+def _frame_rgb(static, intr, settings, params, R_flat, cam_pos):
+    rows = jnp.repeat(jnp.arange(intr.height, dtype=jnp.float32),
+                      intr.width)
+    cols = jnp.tile(jnp.arange(intr.width, dtype=jnp.float32), intr.height)
+    d = camera_ray_dirs_dyn(intr, R_flat, rows, cols)
+    o = (jnp.broadcast_to(cam_pos[0], rows.shape),
+         jnp.broadcast_to(cam_pos[1], rows.shape),
+         jnp.broadcast_to(cam_pos[2], rows.shape))
+    fb = render_rays(static, settings, params, o, d)
+    return fb.rgb.reshape(intr.height, intr.width, 3)
+
+
+def fit_pose(scene, camera, target_rgb, steps: int = 100, lr: float = 2e-2,
+             settings: RenderSettings = RenderSettings(),
+             init: Optional[Tuple[np.ndarray, np.ndarray]] = None,
+             verbose: bool = False):
+    """Recover the camera pose that produced `target_rgb`.
+
+    Optimizes an axis-angle delta-rotation w (applied to the camera's
+    current rotation) and a position delta. Returns
+    (R_flat (9,), position (3,), losses list).
+    """
+    static, params = scene.freeze()
+    params = {k: jnp.asarray(v) for k, v in params.items()}
+    intr = camera.intrinsics
+    R0 = jnp.asarray(np.asarray(camera.rotation, np.float32).reshape(9))
+    t0 = jnp.asarray(np.asarray(camera.position, np.float32))
+    target = jnp.asarray(target_rgb, jnp.float32)
+
+    def loss_fn(x):
+        R = _matmul9(rodrigues(x["w"]), R0)
+        rgb = _frame_rgb(static, intr, settings, params, R, t0 + x["dt"])
+        diff = rgb - target
+        return jnp.mean(diff * diff)
+
+    opt = optax.adam(optax.cosine_decay_schedule(lr, steps))
+    x = {"w": jnp.zeros(3, jnp.float32), "dt": jnp.zeros(3, jnp.float32)}
+    if init is not None:
+        x = {"w": jnp.asarray(init[0], jnp.float32),
+             "dt": jnp.asarray(init[1], jnp.float32)}
+    state = opt.init(x)
+
+    @jax.jit
+    def step(x, state):
+        loss, g = jax.value_and_grad(loss_fn)(x)
+        updates, state = opt.update(g, state)
+        return optax.apply_updates(x, updates), state, loss
+
+    losses = []
+    for i in range(steps):
+        x, state, loss = step(x, state)
+        losses.append(float(loss))
+        if verbose and i % 10 == 0:
+            print(f"fit_pose step {i}: loss {losses[-1]:.6g}")
+    R = _matmul9(rodrigues(x["w"]), R0)
+    return np.asarray(R), np.asarray(t0 + x["dt"]), losses
+
+
+def fit_sdf(scene, camera, target_rgb, steps: int = 200, lr: float = 1e-2,
+            settings: RenderSettings = RenderSettings(),
+            param_mask: Optional[np.ndarray] = None,
+            verbose: bool = False):
+    """Recover SDF leaf parameters that produced `target_rgb`.
+
+    Optimizes params['leaf_params'] (optionally masked to a subset).
+    Returns (fitted leaf_params array, losses list).
+    """
+    static, params = scene.freeze()
+    params = {k: jnp.asarray(v) for k, v in params.items()}
+    intr = camera.intrinsics
+    R0 = jnp.asarray(np.asarray(camera.rotation, np.float32).reshape(9))
+    t0 = jnp.asarray(np.asarray(camera.position, np.float32))
+    target = jnp.asarray(target_rgb, jnp.float32)
+    lp0 = params["leaf_params"]
+    mask = (jnp.asarray(param_mask, jnp.float32) if param_mask is not None
+            else jnp.ones_like(lp0))
+
+    def loss_fn(lp):
+        p = dict(params, leaf_params=lp0 + (lp - lp0) * mask)
+        rgb = _frame_rgb(static, intr, settings, p, R0, t0)
+        diff = rgb - target
+        return jnp.mean(diff * diff)
+
+    opt = optax.adam(optax.cosine_decay_schedule(lr, steps))
+    lp = lp0
+    state = opt.init(lp)
+
+    @jax.jit
+    def step(lp, state):
+        loss, g = jax.value_and_grad(loss_fn)(lp)
+        updates, state = opt.update(g, state)
+        return optax.apply_updates(lp, updates), state, loss
+
+    losses = []
+    for i in range(steps):
+        lp, state, loss = step(lp, state)
+        losses.append(float(loss))
+        if verbose and i % 20 == 0:
+            print(f"fit_sdf step {i}: loss {losses[-1]:.6g}")
+    lp = lp0 + (lp - lp0) * mask
+    return np.asarray(lp), losses
