@@ -36,8 +36,10 @@ def cmd_render(args):
     else:
         import jax
         from surfjax import render
+        from surfjax.utils.profiling import trace_render
         t0 = time.time()
-        fb = jax.block_until_ready(render(scene, camera, settings))
+        with trace_render(args.profile_dir):
+            fb = jax.block_until_ready(render(scene, camera, settings))
         dt = time.time() - t0
         rgb = np.asarray(fb.rgb)
         depth = np.asarray(fb.depth)
@@ -89,6 +91,57 @@ def cmd_bench(args):
     print(json.dumps(result))
 
 
+def cmd_fit(args):
+    """Inverse-rendering demo (BASELINE.json:11): render a target with the
+    config's true parameters, perturb, then recover them."""
+    import jax
+    import numpy as np
+    from surfjax.diff import fit_pose, fit_sdf
+    from surfjax.pipeline.frame import render_frame
+
+    scene, camera, settings, extras = _load(args)
+    fit_cfg = extras.get("fit", {})
+    mode = args.mode or fit_cfg.get("type", "pose")
+    steps = args.steps or int(fit_cfg.get("steps", 100))
+    lr = float(fit_cfg.get("lr", 2e-2))
+
+    target = np.asarray(render_frame(scene, camera, settings).rgb)
+    t0 = time.time()
+    if mode == "pose":
+        init = (np.asarray([0.05, -0.04, 0.03], np.float32),
+                np.asarray([0.05, -0.05, 0.0], np.float32))
+        R, t, losses = fit_pose(scene, camera, target, steps=steps, lr=lr,
+                                settings=settings, init=init, verbose=True)
+        print(f"fit_pose: loss {losses[0]:.3e} -> {losses[-1]:.3e} "
+              f"in {time.time() - t0:.1f}s")
+        print("recovered R:\n", R.reshape(3, 3).round(4))
+        print("recovered t:", t.round(4))
+    elif mode == "sdf":
+        # perturb the SDF objects' leaf parameters, then recover them
+        # (analytic planes + hard-shadow boundaries carry no useful
+        # gradient — standard visibility-gradient limitation)
+        from surfjax.core.scene_compile import ENGINE_SDF
+        static, true_params = scene.freeze()
+        init = np.array(true_params["leaf_params"], np.float32)
+        mask = np.zeros_like(init)
+        for oir in static.ir.objects:
+            if oir.engine == ENGINE_SDF:
+                for lf in oir.leaves:
+                    mask[lf.slot, :4] = 1.0
+        rng = np.random.default_rng(0)
+        init += (rng.normal(0, 0.05, init.shape) * mask).astype(np.float32)
+        lp, losses = fit_sdf(scene, camera, target, steps=steps, lr=lr,
+                             settings=settings, init_leaf_params=init,
+                             param_mask=mask, verbose=True)
+        err0 = np.abs(init - true_params["leaf_params"]).max()
+        err1 = np.abs(lp - true_params["leaf_params"]).max()
+        print(f"fit_sdf: loss {losses[0]:.3e} -> {losses[-1]:.3e}, "
+              f"param err {err0:.4f} -> {err1:.4f} "
+              f"in {time.time() - t0:.1f}s")
+    else:
+        raise SystemExit(f"unknown fit mode {mode!r}")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="surfjax")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -101,6 +154,8 @@ def main(argv=None):
     pr.add_argument("--backend", choices=("jnp", "pallas"), default=None)
     pr.add_argument("--gbuffer", action="store_true",
                     help="also dump depth/normal G-buffer npz")
+    pr.add_argument("--profile-dir", default=None,
+                    help="dump a jax profiler trace here")
     pr.set_defaults(fn=cmd_render)
 
     pa = sub.add_parser("animate", help="render an animated camera path")
@@ -113,6 +168,12 @@ def main(argv=None):
     pb.add_argument("--config", default=None)
     pb.add_argument("--repeats", type=int, default=5)
     pb.set_defaults(fn=cmd_bench)
+
+    pf = sub.add_parser("fit", help="inverse-rendering demo (pose/sdf)")
+    pf.add_argument("--config", required=True)
+    pf.add_argument("--mode", choices=("pose", "sdf"), default=None)
+    pf.add_argument("--steps", type=int, default=None)
+    pf.set_defaults(fn=cmd_fit)
 
     args = p.parse_args(argv)
     return args.fn(args)

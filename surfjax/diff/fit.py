@@ -117,14 +117,18 @@ def fit_pose(scene, camera, target_rgb, steps: int = 100, lr: float = 2e-2,
 def fit_sdf(scene, camera, target_rgb, steps: int = 200, lr: float = 1e-2,
             settings: RenderSettings = RenderSettings(),
             param_mask: Optional[np.ndarray] = None,
+            init_leaf_params: Optional[np.ndarray] = None,
             verbose: bool = False):
     """Recover SDF leaf parameters that produced `target_rgb`.
 
-    Optimizes params['leaf_params'] (optionally masked to a subset).
+    Optimizes params['leaf_params'] (optionally masked to a subset),
+    starting from `init_leaf_params` if given (else the scene's own).
     Returns (fitted leaf_params array, losses list).
     """
     static, params = scene.freeze()
     params = {k: jnp.asarray(v) for k, v in params.items()}
+    if init_leaf_params is not None:
+        params["leaf_params"] = jnp.asarray(init_leaf_params, jnp.float32)
     intr = camera.intrinsics
     R0 = jnp.asarray(np.asarray(camera.rotation, np.float32).reshape(9))
     t0 = jnp.asarray(np.asarray(camera.position, np.float32))

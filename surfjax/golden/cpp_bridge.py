@@ -1,0 +1,117 @@
+"""ctypes bridge to the C++ golden renderer (component 21 native path).
+
+Builds surfjax/golden/cpp/golden.cpp on demand with strict FP flags
+(-fno-fast-math -ffp-contract=off) and exposes `render(scene, camera,
+settings)` with the same output dict as golden.renderer.render. Scene data
+is packed into the flat SoA tables the compiler already produces; the C++
+math itself is a third independent implementation.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Dict
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "cpp", "golden.cpp")
+_LIB = os.path.join(_HERE, "cpp", "libgolden.so")
+
+_lib = None
+
+
+def _build() -> str:
+    if (not os.path.exists(_LIB)
+            or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
+        cmd = ["g++", "-O2", "-fno-fast-math", "-ffp-contract=off",
+               "-shared", "-fPIC", "-o", _LIB, _SRC]
+        subprocess.run(cmd, check=True, capture_output=True, text=True)
+    return _LIB
+
+
+def _load():
+    global _lib
+    if _lib is None:
+        lib = ctypes.CDLL(_build())
+        f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+        i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        lib.sj_golden_render.argtypes = [
+            f32p, i32p, i32p, ctypes.c_int, i32p, i32p, f32p, f32p, f32p,
+            f32p, i32p, ctypes.c_int, f32p, f32p, f32p, f32p,
+        ]
+        lib.sj_golden_render.restype = None
+        _lib = lib
+    return _lib
+
+
+def render(scene, camera, settings) -> Dict[str, np.ndarray]:
+    from surfjax.core.scene_compile import ENGINE_MESH, compile_scene
+
+    static, params = compile_scene(scene)
+    ir = static.ir
+    if any(o.engine == ENGINE_MESH for o in ir.objects):
+        raise NotImplementedError(
+            "C++ golden covers non-mesh scenes; use the NumPy golden")
+
+    objs = []
+    nodes = []
+    leaf_meta = []
+    leaf_rows = []
+    node_off = 0
+    for o in ir.objects:
+        leaf_off = len(leaf_meta)
+        objs.append([o.engine, node_off, len(o.nodes), leaf_off,
+                     len(o.leaves), o.mat, o.shininess])
+        for nd in o.nodes:
+            nodes.append([nd.op, nd.a, nd.b, nd.leaf, max(nd.pslot, 0)])
+        for lf in o.leaves:
+            leaf_meta.append([lf.kind, lf.sign, lf.p0, lf.p1])
+            leaf_rows.append(params["leaf_params"][lf.slot])
+        node_off += len(o.nodes)
+
+    intr = camera.intrinsics
+    R = np.asarray(camera.rotation, np.float32).reshape(9)
+    pos = np.asarray(camera.position, np.float32)
+    headerf = np.asarray(
+        [intr.fx, intr.fy, intr.cx, intr.cy, *R, *pos,
+         settings.t_min, settings.t_max, settings.hit_eps,
+         settings.normal_eps, settings.shadow_eps,
+         settings.soft_shadow_k, settings.soft_shadow_tmin,
+         settings.ao_radius, settings.ao_strength,
+         *settings.background, *scene.ambient], np.float32)
+    headeri = np.asarray(
+        [intr.width, intr.height, settings.max_steps, settings.shadow_steps,
+         settings.ao_samples, int(settings.shadows),
+         int(settings.soft_shadows), int(settings.ao)], np.int32)
+
+    n = intr.width * intr.height
+    out_rgb = np.zeros(3 * n, np.float32)
+    out_depth = np.zeros(n, np.float32)
+    out_normal = np.zeros(3 * n, np.float32)
+    out_hit = np.zeros(n, np.float32)
+
+    light_kinds = np.asarray(list(ir.lights) or [0], np.int32)
+    _load().sj_golden_render(
+        headerf, headeri,
+        np.asarray(objs, np.int32).reshape(-1),
+        len(objs),
+        np.asarray(nodes, np.int32).reshape(-1),
+        np.asarray(leaf_meta, np.int32).reshape(-1),
+        (np.stack(leaf_rows).astype(np.float32).reshape(-1)
+         if leaf_rows else np.zeros(8, np.float32)),
+        params["node_params"].astype(np.float32).reshape(-1),
+        params["materials"].astype(np.float32).reshape(-1),
+        params["lights"].astype(np.float32).reshape(-1),
+        light_kinds, len(ir.lights),
+        out_rgb, out_depth, out_normal, out_hit)
+
+    H, W = intr.height, intr.width
+    return {
+        "rgb": out_rgb.reshape(H, W, 3),
+        "depth": out_depth.reshape(H, W),
+        "normal": out_normal.reshape(H, W, 3),
+        "hit": out_hit.reshape(H, W),
+    }
