@@ -20,7 +20,8 @@ class RenderSettings:
     t_min: float = 1e-3
     t_max: float = 1e4
     hit_eps: float = 1e-3         # SDF hit threshold
-    over_relax: float = 1.4       # kernel-path over-relaxed march (1.0=off)
+    over_relax: float = 1.6       # kernel-path over-relaxed march (1.0=off)
+    hit_eps_scale: float = 0.0    # cone eps: eps_eff = hit_eps + t*scale
     normal_eps: float = 5e-4      # FD-normal tetrahedron offset
     normals: str = "auto"         # "auto" (analytic where possible) | "fd"
     # secondary rays

@@ -256,7 +256,8 @@ def eval_sdf(oir: ObjectIR, leaf_params, node_params, p, leaf_fn=None):
 # ---------------------------------------------------------------------------
 
 def _sphere_trace_impl(oir: ObjectIR, leaf_params, node_params, o, d,
-                       t_min, t_max, max_steps: int, hit_eps: float):
+                       t_min, t_max, max_steps: int, hit_eps: float,
+                       eps_scale: float = 0.0):
     """Masked fixed-trip bounded march with batch-level early exit.
 
     Returns (t, hit_mask). Miss: t == BIG. The while_loop runs at most
@@ -265,6 +266,7 @@ def _sphere_trace_impl(oir: ObjectIR, leaf_params, node_params, o, d,
     [BASELINE.json:5 "lane-level early-exit"].
     """
     eps = F32(hit_eps)
+    es = F32(eps_scale)
     t0 = jnp.full_like(o[0], t_min)
     done0 = jnp.zeros_like(o[0], dtype=bool)
     hit0 = jnp.zeros_like(o[0], dtype=bool)
@@ -279,7 +281,7 @@ def _sphere_trace_impl(oir: ObjectIR, leaf_params, node_params, o, d,
         py = o[1] + t * d[1]
         pz = o[2] + t * d[2]
         h = eval_sdf(oir, leaf_params, node_params, (px, py, pz))
-        hit_now = h < eps
+        hit_now = h < (eps + es * t)
         over = t > t_max
         done_new = done | hit_now | over
         t_new = jnp.where(done_new, t, t + h)
@@ -308,21 +310,22 @@ def _sphere_trace_impl(oir: ObjectIR, leaf_params, node_params, o, d,
 import functools as _functools
 
 
-@_functools.partial(jax.custom_vjp, nondiff_argnums=(0, 5, 7, 8))
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(0, 5, 7, 8, 9))
 def sphere_trace(oir: ObjectIR, leaf_params, node_params, o, d,
-                 t_min, t_max, max_steps: int, hit_eps: float):
+                 t_min, t_max, max_steps: int, hit_eps: float,
+                 eps_scale: float = 0.0):
     return _sphere_trace_impl(oir, leaf_params, node_params, o, d,
-                              t_min, t_max, max_steps, hit_eps)
+                              t_min, t_max, max_steps, hit_eps, eps_scale)
 
 
 def _sphere_trace_fwd(oir, leaf_params, node_params, o, d, t_min, t_max,
-                      max_steps, hit_eps):
+                      max_steps, hit_eps, eps_scale=0.0):
     t, hit = _sphere_trace_impl(oir, leaf_params, node_params, o, d,
-                                t_min, t_max, max_steps, hit_eps)
+                                t_min, t_max, max_steps, hit_eps, eps_scale)
     return (t, hit), (leaf_params, node_params, o, d, t, hit, t_max)
 
 
-def _sphere_trace_bwd(oir, t_min, max_steps, hit_eps, res, cts):
+def _sphere_trace_bwd(oir, t_min, max_steps, hit_eps, eps_scale, res, cts):
     leaf_params, node_params, o, d, t, hit, t_max = res
     g_t, _g_hit = cts
     t_safe = jnp.where(hit, t, F32(0.0))

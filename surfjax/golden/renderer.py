@@ -379,8 +379,10 @@ def _eval_sdf(obj: _Obj, p):
     return vals[-1]
 
 
-def _sphere_trace(obj: _Obj, o, d, t_min, t_max, max_steps, hit_eps):
+def _sphere_trace(obj: _Obj, o, d, t_min, t_max, max_steps, hit_eps,
+                  eps_scale=0.0):
     eps = F(hit_eps)
+    es = F(eps_scale)
     t = np.full_like(o[0], F(t_min))
     done = np.zeros_like(o[0], dtype=bool)
     hit = np.zeros_like(o[0], dtype=bool)
@@ -390,7 +392,7 @@ def _sphere_trace(obj: _Obj, o, d, t_min, t_max, max_steps, hit_eps):
         py = o[1] + t * d[1]
         pz = o[2] + t * d[2]
         h = _eval_sdf(obj, (px, py, pz))
-        hit_now = h < eps
+        hit_now = h < (eps + es * t)
         over = t > t_max
         done_new = done | hit_now | over
         t = np.where(done_new, t, t + h)
@@ -554,7 +556,8 @@ def render(scene: api.Scene, camera: api.Camera,
             elif ob.is_sdf:
                 t_i, _hit = _sphere_trace(ob, o, d, t_min, t_max,
                                           settings.max_steps,
-                                          settings.hit_eps)
+                                          settings.hit_eps,
+                                          settings.hit_eps_scale)
                 leaf_i = np.zeros_like(t_i, dtype=np.int32)
             else:
                 t_i, leaf_i = _intersect_analytic(ob, o, d, t_min, t_max)

@@ -101,6 +101,50 @@ def _scene_sdf(sdf_objs, lp, nparams, p):
     return v
 
 
+_CULL_MARGIN = 0.25
+
+
+def _scene_sdf_culled_fn(sdf_objs, lp, nparams):
+    """Tile-adaptive scene SDF: each expensive bounded object is evaluated
+    under a tile-level lax.cond — when every lane in the tile is at least
+    _CULL_MARGIN outside the object's bounding sphere, the bound-sphere
+    distance (a true lower bound > hit_eps, so no false hits) substitutes
+    for the full tape. Far tiles skip the Mandelbulb entirely, per step.
+    """
+    from surfjax.engines.sdf import leaf_sdf_fast
+    parts = []
+    any_cull = False
+    for _, oir in sdf_objs:
+        cheap = len(oir.nodes) <= 2
+        b = None if cheap else _object_bound(oir, lp, nparams)
+        parts.append((oir, b))
+        any_cull = any_cull or b is not None
+    if not any_cull:
+        return lambda p: _scene_sdf(sdf_objs, lp, nparams, p)
+
+    def scene(p):
+        v = None
+        for oir, b in parts:
+            if b is None:
+                h = eval_sdf(oir, lp, nparams, p, leaf_fn=leaf_sdf_fast)
+            else:
+                cx, cy, cz, R = b
+                dx = p[0] - cx
+                dy = p[1] - cy
+                dz = p[2] - cz
+                hb = jnp.sqrt((dx * dx + dy * dy) + dz * dz) - R
+                pred = jnp.min(hb) < F32(_CULL_MARGIN)
+                h = jax.lax.cond(
+                    pred,
+                    lambda oir=oir: eval_sdf(oir, lp, nparams, p,
+                                             leaf_fn=leaf_sdf_fast),
+                    lambda hb=hb: hb)
+            v = h if v is None else jnp.minimum(v, h)
+        return v
+
+    return scene
+
+
 # ---------------------------------------------------------------------------
 # Proxy (lower-bound) scene SDF for the two-phase march.
 #
@@ -192,7 +236,7 @@ def _proxy_sdf_fn(sdf_objs, lp, nparams):
 
 
 def _march(sdf_fn, o, d, t_start, t_clip, max_steps: int, hit_eps: float,
-           t_init=None, relax: float = 1.0):
+           t_init=None, relax: float = 1.0, eps_scale: float = 0.0):
     """Bounded scene march with per-tile early exit. f32 mask carries.
 
     Returns (t, hit_f) where hit_f is a 0/1 f32 mask. Lanes whose t_clip is
@@ -216,8 +260,7 @@ def _march(sdf_fn, o, d, t_start, t_clip, max_steps: int, hit_eps: float,
         i, _, _, _, done, _ = s
         return (i < max_steps) & (jnp.min(done) < F32(0.5))
 
-    def body(s):
-        i, t, h_prev, st_prev, done, hit = s
+    def substep(t, h_prev, st_prev, done, hit):
         px = o[0] + t * d[0]
         py = o[1] + t * d[1]
         pz = o[2] + t * d[2]
@@ -228,7 +271,8 @@ def _march(sdf_fn, o, d, t_start, t_clip, max_steps: int, hit_eps: float,
         else:
             ovr = z0
         ok = F32(1.0) - ovr
-        hit_now = ok * jnp.where(h < eps, F32(1.0), F32(0.0))
+        eps_eff = eps + F32(eps_scale) * t
+        hit_now = ok * jnp.where(h < eps_eff, F32(1.0), F32(0.0))
         over = ok * jnp.where(t > t_clip, F32(1.0), F32(0.0))
         active = F32(1.0) - done
         hit = jnp.maximum(hit, hit_now * active)
@@ -238,9 +282,20 @@ def _march(sdf_fn, o, d, t_start, t_clip, max_steps: int, hit_eps: float,
         t_retreat = (t - st_prev) + h_prev  # unrelaxed fallback point
         t_next = jnp.where(ovr > F32(0.5), t_retreat, t_fwd)
         t = jnp.where(done_new > F32(0.5), t, t_next)
-        h_prev = ok * h
-        st_prev = ok * step
-        return i + 1, t, h_prev, st_prev, done_new, hit
+        # freeze the overshoot-test state for finished lanes
+        h_prev = jnp.where(done_new > F32(0.5), h_prev, ok * h)
+        st_prev = jnp.where(done_new > F32(0.5), st_prev, ok * step)
+        return t, h_prev, st_prev, done_new, hit
+
+    def body(s):
+        i, t, h_prev, st_prev, done, hit = s
+        # MARCH_UNROLL substeps per while trip: divides the per-trip loop
+        # and all-done-reduction overhead (worst case wastes
+        # MARCH_UNROLL-1 evals per tile)
+        for _ in range(MARCH_UNROLL):
+            t, h_prev, st_prev, done, hit = substep(t, h_prev, st_prev,
+                                                    done, hit)
+        return i + MARCH_UNROLL, t, h_prev, st_prev, done, hit
 
     _, t, _, _, _, hit = jax.lax.while_loop(
         cond, body, (0, t0, z0, z0, done0, hit0))
@@ -248,10 +303,11 @@ def _march(sdf_fn, o, d, t_start, t_clip, max_steps: int, hit_eps: float,
 
 
 _PROXY_SWITCH = 0.08  # hand off to the full SDF within this proxy distance
+MARCH_UNROLL = 1      # full-SDF march substeps per while trip (eval-bound)
 
 
 def _march2(proxy_fn, sdf_fn, o, d, t_start, t_clip, max_steps: int,
-            hit_eps: float, relax: float = 1.0):
+            hit_eps: float, relax: float = 1.0, eps_scale: float = 0.0):
     """Two-phase march: cheap proxy until near geometry, then full SDF.
 
     The proxy is a pointwise lower bound of the scene SDF, so phase 1 never
@@ -260,7 +316,7 @@ def _march2(proxy_fn, sdf_fn, o, d, t_start, t_clip, max_steps: int,
     """
     if proxy_fn is None:
         return _march(sdf_fn, o, d, t_start, t_clip, max_steps, hit_eps,
-                      relax=relax)
+                      relax=relax, eps_scale=eps_scale)
     sw = F32(_PROXY_SWITCH)
     t0 = jnp.full_like(o[0], t_start)
     done0 = jnp.where(t0 >= t_clip, F32(1.0), F32(0.0))
@@ -285,7 +341,7 @@ def _march2(proxy_fn, sdf_fn, o, d, t_start, t_clip, max_steps: int,
     # phase 2 from the handoff point (lanes already past t_clip finish
     # immediately inside _march via its done0)
     return _march(sdf_fn, o, d, F32(0.0), t_clip, max_steps, hit_eps,
-                  t_init=t1, relax=relax)
+                  t_init=t1, relax=relax, eps_scale=eps_scale)
 
 
 def _fd_normal(sdf_fn, p, eps: float):
@@ -328,7 +384,8 @@ def trace_core(static, settings: RenderSettings, lp, nparams, o, d,
         t_clip = jnp.minimum(t_a, F32(t_max))
         t_s, hit_s = _march2(proxy_fn, sdf_fn, o, d, t_min, t_clip,
                              settings.max_steps, settings.hit_eps,
-                             relax=settings.over_relax)
+                             relax=settings.over_relax,
+                             eps_scale=settings.hit_eps_scale)
         sdf_wins = (hit_s > F32(0.5)) & (t_s < t_a)
         # which SDF object won: argmin of per-object SDF at the hit point
         if len(sdf_objs) == 1:
@@ -440,7 +497,9 @@ def _soft_march2(proxy_fn, sdf_fn, o, d, t_start, t_max, k: float,
                          F32(1.0), F32(0.0))
         over = jnp.where(t > t_max, F32(1.0), F32(0.0))
         done_new = jnp.maximum(done, jnp.maximum(near, over))
-        step = jnp.minimum(jnp.maximum(h, F32(1e-3)), F32(0.5))
+        # no 0.5 step cap here: sphere-trace samples densely near close
+        # approaches by construction, and the k*h/t switch is conservative
+        step = jnp.maximum(h, F32(1e-3))
         t = jnp.where(done_new > F32(0.5), t, t + step)
         return i + 1, t, done_new
 

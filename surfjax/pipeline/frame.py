@@ -51,7 +51,8 @@ def trace_scene(static: SceneWithMeshes, settings: RenderSettings, params,
         elif oir.engine == ENGINE_SDF:
             t_i, _hit = sphere_trace(
                 oir, params["leaf_params"], params["node_params"], o, d,
-                t_min, t_max, settings.max_steps, settings.hit_eps)
+                t_min, t_max, settings.max_steps, settings.hit_eps,
+                settings.hit_eps_scale)
             leaf_i = jnp.zeros_like(t_i, dtype=jnp.int32)
         elif oir.engine == ENGINE_MESH:
             from surfjax.engines.mesh import intersect_mesh
