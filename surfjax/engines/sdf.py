@@ -371,14 +371,15 @@ def normal_fd(oir: ObjectIR, leaf_params, node_params, p, eps: float):
     return vnormalize((nx, ny, nz))
 
 
-def soft_shadow_march(sdf_fn, o, d, t_min, t_max, k: float, steps: int):
+def soft_shadow_march(sdf_fn, o, d, t_min, t_max, k, steps: int):
     """Penumbra factor in [0,1] marching toward the light (component 12).
 
     sdf_fn(p) -> scene-level SDF (min over SDF objects; analytic objects are
     handled by the hard-occlusion path and multiplied in by the caller).
-    Classic k*h/t penumbra accumulator.
+    Classic k*h/t penumbra accumulator. k may be a per-ray array
+    (area lights: dist/radius).
     """
-    kf = F32(k)
+    kf = k if hasattr(k, "shape") else F32(k)
     t = jnp.full_like(o[0], t_min)
     res = jnp.ones_like(o[0])
     done = jnp.zeros_like(o[0], dtype=bool)

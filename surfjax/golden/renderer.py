@@ -662,9 +662,15 @@ def render(scene: api.Scene, camera: api.Camera,
         vis = np.ones_like(p_off[0])
         if settings.shadows and objs:
             if settings.soft_shadows and nonmesh:
+                radius = (F(lt.radius) if isinstance(lt, api.PointLight)
+                          else F(0.0))
+                if radius > 0.0:
+                    soft_k = dist / radius
+                else:
+                    soft_k = np.full_like(dist, F(settings.soft_shadow_k))
                 vis = vis * _soft_shadow(scene_sdf, p_off, l,
                                          settings.soft_shadow_tmin, dist,
-                                         settings.soft_shadow_k,
+                                         soft_k,
                                          settings.shadow_steps)
                 for ob in objs:
                     if ob.is_mesh:
@@ -723,7 +729,7 @@ def render(scene: api.Scene, camera: api.Camera,
 
 
 def _soft_shadow(sdf_fn, o, d, t_min, t_max, k, steps):
-    kf = F(k)
+    kf = k if isinstance(k, np.ndarray) else F(k)
     t = np.full_like(o[0], F(t_min))
     res = np.ones_like(o[0])
     done = np.zeros_like(o[0], dtype=bool)

@@ -442,8 +442,11 @@ def normals_core(static, settings: RenderSettings, lp, nparams, p, obj, leaf,
 
 
 def visibility_core(static, settings: RenderSettings, lp, nparams,
-                    o, l, dist):
-    """Shadow visibility for a batch of secondary rays (re-entry path)."""
+                    o, l, dist, soft_k=None):
+    """Shadow visibility for a batch of secondary rays (re-entry path).
+
+    soft_k: per-ray penumbra sharpness (area lights: dist/radius); None
+    falls back to the global settings.soft_shadow_k."""
     analytic, sdf_objs, _ = _split(static)
     vis = jnp.ones_like(o[0])
     eps = settings.shadow_eps
@@ -454,9 +457,10 @@ def visibility_core(static, settings: RenderSettings, lp, nparams,
         sdf_fn = lambda p: _scene_sdf(sdf_objs, lp, nparams, p)
         proxy_fn = _proxy_sdf_fn(sdf_objs, lp, nparams)
         if settings.soft_shadows:
+            k = soft_k if soft_k is not None else settings.soft_shadow_k
             vis = vis * _soft_march2(proxy_fn, sdf_fn, o, l,
                                      settings.soft_shadow_tmin, dist,
-                                     settings.soft_shadow_k,
+                                     k,
                                      settings.shadow_steps)
         else:
             t_s, hit_s = _march2(proxy_fn, sdf_fn, o, l, eps, dist,
@@ -467,7 +471,7 @@ def visibility_core(static, settings: RenderSettings, lp, nparams,
     return vis
 
 
-def _soft_march2(proxy_fn, sdf_fn, o, d, t_start, t_max, k: float,
+def _soft_march2(proxy_fn, sdf_fn, o, d, t_start, t_max, k,
                  steps: int):
     """Two-phase penumbra march, exactly equivalent to the single-phase one.
 
@@ -478,7 +482,7 @@ def _soft_march2(proxy_fn, sdf_fn, o, d, t_start, t_max, k: float,
     """
     if proxy_fn is None:
         return _soft_march(sdf_fn, o, d, t_start, t_max, k, steps)
-    kf = F32(k)
+    kf = k if hasattr(k, "shape") else F32(k)
     sw = F32(_PROXY_SWITCH)
     t0 = jnp.full_like(o[0], t_start)
     done0 = jnp.where(t0 > t_max, F32(1.0), F32(0.0))
@@ -507,9 +511,9 @@ def _soft_march2(proxy_fn, sdf_fn, o, d, t_start, t_max, k: float,
     return _soft_march(sdf_fn, o, d, t_start, t_max, k, steps, t_init=t1)
 
 
-def _soft_march(sdf_fn, o, d, t_start, t_max, k: float, steps: int,
+def _soft_march(sdf_fn, o, d, t_start, t_max, k, steps: int,
                 t_init=None):
-    kf = F32(k)
+    kf = k if hasattr(k, "shape") else F32(k)
     t0 = jnp.full_like(o[0], t_start) if t_init is None else t_init
     res0 = jnp.ones_like(o[0])
     done0 = jnp.where(t0 > t_max, F32(1.0), F32(0.0))
@@ -578,12 +582,12 @@ def _k1_body(static, settings, n_leaves, n_nodes,
 def _k2_body(static, settings, n_leaves, n_nodes,
              lp_ref, np_ref,
              ox_ref, oy_ref, oz_ref, lx_ref, ly_ref, lz_ref, dist_ref,
-             vis_ref):
+             k_ref, vis_ref):
     lp, nparams = _read_params(lp_ref, np_ref, n_leaves, n_nodes)
     o = (ox_ref[:], oy_ref[:], oz_ref[:])
     l = (lx_ref[:], ly_ref[:], lz_ref[:])
     vis_ref[:] = visibility_core(static, settings, lp, nparams, o, l,
-                                 dist_ref[:])
+                                 dist_ref[:], soft_k=k_ref[:])
 
 
 def _ray_specs(n_arrays: int, rows: int):
@@ -622,7 +626,7 @@ def render_tile_kernel(static, settings: RenderSettings, leaf_params,
 
 @functools.partial(jax.jit, static_argnums=(0, 1))
 def trace_rays_kernel(static, settings: RenderSettings, leaf_params,
-                      node_params, o, l, dist):
+                      node_params, o, l, dist, soft_k):
     """K2: batched secondary-ray visibility (same intersection core)."""
     rows_total = o[0].shape[0]
     R = settings.tile_rows
@@ -636,10 +640,11 @@ def trace_rays_kernel(static, settings: RenderSettings, leaf_params,
         body,
         out_shape=shp,
         grid=grid,
-        in_specs=_param_specs() + _ray_specs(7, R),
+        in_specs=_param_specs() + _ray_specs(8, R),
         out_specs=_ray_specs(1, R)[0],
         interpret=_interpret(),
-    )(leaf_params, node_params, o[0], o[1], o[2], l[0], l[1], l[2], dist)
+    )(leaf_params, node_params, o[0], o[1], o[2], l[0], l[1], l[2], dist,
+      soft_k)
     return vis
 
 
@@ -793,8 +798,13 @@ def _render_padded(static, settings: RenderSettings, params, o2, d2
             dist = jnp.full_like(p_off[0], settings.t_max)
         lcol = (lrow[3], lrow[4], lrow[5])
         if settings.shadows:
+            # area lights: penumbra sharpness k = dist / radius
+            radius = lrow[6]
+            soft_k = jnp.where(radius > F32(0.0), dist / radius,
+                               jnp.full_like(dist,
+                                             settings.soft_shadow_k))
             vis = trace_rays_kernel(static, settings, lp, nparams,
-                                    p_off, l, dist)
+                                    p_off, l, dist, soft_k)
         else:
             vis = jnp.ones_like(p_off[0])
         light_terms.append((l, lcol, vis))

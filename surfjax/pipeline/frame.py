@@ -152,10 +152,15 @@ def light_visibility(static: SceneWithMeshes, settings: RenderSettings,
                 # cut gradients at its inputs — the standard visibility-
                 # gradient bias of inverse rendering (SURVEY.md §7 part 4)
                 sg = jax.lax.stop_gradient
+                # area lights: penumbra sharpness k = dist / radius
+                radius = lrow[6]
+                soft_k = jnp.where(
+                    radius > F32(0.0), dist / radius,
+                    jnp.full_like(dist, settings.soft_shadow_k))
                 vis = vis * soft_shadow_march(
                     scene_sdf_nograd, sg(p_off), sg(l),
                     settings.soft_shadow_tmin, sg(dist),
-                    settings.soft_shadow_k, settings.shadow_steps)
+                    sg(soft_k), settings.shadow_steps)
                 # mesh objects still occlude hard
                 for oir in ir.objects:
                     if oir.engine == ENGINE_MESH:
