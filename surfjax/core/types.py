@@ -39,6 +39,8 @@ class RenderSettings:
     background: Tuple[float, float, float] = (0.0, 0.0, 0.0)
     # kernel/backend selection: "jnp" (pure jax.numpy twin) | "pallas"
     backend: str = "jnp"
+    # pallas march scheduling: "wavefront" (compacted rounds) | "tile"
+    march_mode: str = "tile"
     # Pallas tiling: rays per tile block = tile_rows * 128
     tile_rows: int = 64
 

@@ -773,8 +773,13 @@ def _render_padded(static, settings: RenderSettings, params, o2, d2
     nparams = params["node_params"]
     ox, oy, oz = o2
     dx, dy, dz = d2
-    t, obj, n, ao, hit_f = render_tile_kernel(
-        static, settings, lp, nparams, (ox, oy, oz), (dx, dy, dz))
+    if settings.march_mode == "wavefront":
+        from surfjax.kernels.wavefront import march_wavefront
+        t, obj, _leaf, n, ao, hit_f = march_wavefront(
+            static, settings, lp, nparams, (ox, oy, oz), (dx, dy, dz))
+    else:
+        t, obj, n, ao, hit_f = render_tile_kernel(
+            static, settings, lp, nparams, (ox, oy, oz), (dx, dy, dz))
 
     t_sane = jnp.where(hit_f > F32(0.5), t, F32(0.0))
     p = (ox + t_sane * dx, oy + t_sane * dy, oz + t_sane * dz)
