@@ -101,14 +101,24 @@ def build_grid(mesh, grid_res=None) -> MeshTables:
     # every cell's full list must be testable — truncation makes holes
     k_max = int(max(counts.max(), 1))
 
+    # packed per-triangle rows for the Pallas packet kernel
+    # (v0, e1, e2, gn, n0, n1, n2, pad) -> (F, 24)
+    gn32 = gnn.astype(np.float32)
+    vn32 = vn.astype(np.float32)
+    tri_packed = np.concatenate(
+        [v0, e1, e2, gn32, vn32[faces[:, 0]], vn32[faces[:, 1]],
+         vn32[faces[:, 2]], np.zeros((F, 3), np.float32)],
+        axis=1).astype(np.float32)
+
     arrays = {
         "tri_v0": v0, "tri_e1": e1, "tri_e2": e2,
-        "tri_n": gnn.astype(np.float32),
-        "vert_n": vn.astype(np.float32),
+        "tri_n": gn32,
+        "vert_n": vn32,
         "faces": faces,
         "verts": verts,
         "cell_start": cell_start,
         "cell_tris": cell_tris,
+        "tri_packed": tri_packed,
     }
     static = MeshStatic(nx, ny, nz, F, int(cell_tris.shape[0]), k_max,
                         tuple(float(x) for x in bb_min),

@@ -81,6 +81,11 @@ def _read_params(lp_ref, np_ref, n_leaves: int, n_nodes: int):
     return _Rows(lp), _Rows(np_list)
 
 
+def _mesh_params(params, mesh_idx):
+    from surfjax.engines.mesh import _mesh_arrays
+    return _mesh_arrays(params, mesh_idx)
+
+
 def _split(static: SceneWithMeshes):
     ir = static.ir
     analytic = [(i, o) for i, o in enumerate(ir.objects)
@@ -365,8 +370,9 @@ def _fd_normal(sdf_fn, p, eps: float):
 def trace_core(static, settings: RenderSettings, lp, nparams, o, d,
                t_min: float, t_max):
     """-> (t, obj_id i32, leaf_id i32, hit_f f32)."""
-    analytic, sdf_objs, mesh = _split(static)
-    assert not mesh, "mesh objects use the grid engine path, not this kernel"
+    analytic, sdf_objs, _mesh = _split(static)
+    # mesh objects are intersected by the packet kernel (mesh_tile.py) and
+    # merged by the caller; this core handles analytic + SDF only
 
     t_a = jnp.full_like(o[0], BIG)
     obj = jnp.full_like(o[0], -1.0)
@@ -764,15 +770,12 @@ def _render_padded(static, settings: RenderSettings, params, o2, d2
     )
     ir = static.ir
     _, _, mesh = _split(static)
-    if mesh:
-        raise NotImplementedError(
-            "pallas backend: mesh objects use the grid engine (todo); "
-            "use backend='jnp'")
 
     lp = params["leaf_params"]
     nparams = params["node_params"]
     ox, oy, oz = o2
     dx, dy, dz = d2
+    # non-mesh scene (a scene of ONLY meshes still needs the blank frame)
     if settings.march_mode == "wavefront":
         from surfjax.kernels.wavefront import march_wavefront
         t, obj, _leaf, n, ao, hit_f = march_wavefront(
@@ -781,10 +784,44 @@ def _render_padded(static, settings: RenderSettings, params, o2, d2
         t, obj, n, ao, hit_f = render_tile_kernel(
             static, settings, lp, nparams, (ox, oy, oz), (dx, dy, dz))
 
+    # mesh objects: packet kernel per mesh; merge nearest
+    n_geom = n
+    if mesh:
+        from surfjax.kernels.mesh_tile import mesh_tile_kernel
+        for i, oir in mesh:
+            ms = static.mesh_static[oir.mesh]
+            tri_packed = jnp.asarray(
+                _mesh_params(params, oir.mesh)["tri_packed"])
+            t_m, n_s, n_g = mesh_tile_kernel(
+                ms, settings, tri_packed, (ox, oy, oz), (dx, dy, dz),
+                settings.t_max)
+            better = t_m < jnp.where(hit_f > F32(0.5), t, BIG)
+            t = jnp.where(better, t_m, t)
+            obj = jnp.where(better, F32(float(i)), obj)
+            hit_f = jnp.maximum(hit_f, jnp.where(better, F32(1.0), F32(0.0)))
+            # face-forward both shading and geometric mesh normals
+            def _ff(nv):
+                flip = (nv[0] * dx + nv[1] * dy) + nv[2] * dz > F32(0.0)
+                s = jnp.where(flip, F32(-1.0), F32(1.0))
+                return (nv[0] * s, nv[1] * s, nv[2] * s)
+            n_s = _ff(n_s)
+            n_g = _ff(n_g)
+            n = (jnp.where(better, n_s[0], n[0]),
+                 jnp.where(better, n_s[1], n[1]),
+                 jnp.where(better, n_s[2], n[2]))
+            n_geom = (jnp.where(better, n_g[0], n_geom[0]),
+                      jnp.where(better, n_g[1], n_geom[1]),
+                      jnp.where(better, n_g[2], n_geom[2]))
+            # AO probes are SDF-based; mesh hits take ao = 1
+            ao = jnp.where(better, F32(1.0), ao)
+
     t_sane = jnp.where(hit_f > F32(0.5), t, F32(0.0))
     p = (ox + t_sane * dx, oy + t_sane * dy, oz + t_sane * dz)
     eps = F32(settings.shadow_eps)
-    p_off = (p[0] + n[0] * eps, p[1] + n[1] * eps, p[2] + n[2] * eps)
+    # offset along the geometric normal (shadow-terminator safety for
+    # smooth-shaded meshes; n == n_geom for non-mesh hits)
+    p_off = (p[0] + n_geom[0] * eps, p[1] + n_geom[1] * eps,
+             p[2] + n_geom[2] * eps)
 
     light_terms = []
     for li, kind in enumerate(ir.lights):
@@ -810,6 +847,16 @@ def _render_padded(static, settings: RenderSettings, params, o2, d2
                                              settings.soft_shadow_k))
             vis = trace_rays_kernel(static, settings, lp, nparams,
                                     p_off, l, dist, soft_k)
+            if mesh:
+                from surfjax.kernels.mesh_tile import mesh_tile_kernel
+                for _, oir in mesh:
+                    ms = static.mesh_static[oir.mesh]
+                    tri_packed = jnp.asarray(
+                        _mesh_params(params, oir.mesh)["tri_packed"])
+                    t_m, _, _ = mesh_tile_kernel(
+                        ms, settings, tri_packed, p_off, l, dist,
+                        any_hit=True)
+                    vis = vis * jnp.where(t_m < dist, F32(0.0), F32(1.0))
         else:
             vis = jnp.ones_like(p_off[0])
         light_terms.append((l, lcol, vis))
