@@ -845,8 +845,11 @@ def _render_padded(static, settings: RenderSettings, params, o2, d2
             soft_k = jnp.where(radius > F32(0.0), dist / radius,
                                jnp.full_like(dist,
                                              settings.soft_shadow_k))
+            # miss lanes need no shadow ray: zero their march budget so
+            # sky tiles exit K2 instantly
+            dist_eff = jnp.where(hit_f > F32(0.5), dist, F32(0.0))
             vis = trace_rays_kernel(static, settings, lp, nparams,
-                                    p_off, l, dist, soft_k)
+                                    p_off, l, dist_eff, soft_k)
             if mesh:
                 from surfjax.kernels.mesh_tile import mesh_tile_kernel
                 for _, oir in mesh:
@@ -854,9 +857,10 @@ def _render_padded(static, settings: RenderSettings, params, o2, d2
                     tri_packed = jnp.asarray(
                         _mesh_params(params, oir.mesh)["tri_packed"])
                     t_m, _, _ = mesh_tile_kernel(
-                        ms, settings, tri_packed, p_off, l, dist,
+                        ms, settings, tri_packed, p_off, l, dist_eff,
                         any_hit=True)
-                    vis = vis * jnp.where(t_m < dist, F32(0.0), F32(1.0))
+                    vis = vis * jnp.where(t_m < dist_eff,
+                                          F32(0.0), F32(1.0))
         else:
             vis = jnp.ones_like(p_off[0])
         light_terms.append((l, lcol, vis))

@@ -71,9 +71,11 @@ def config3_sdf(size=1024):
                                          shininess=32), engine="sdf")
     scene.add(Mandelbulb(center=(1.0, 0.0, 3.0), scale=0.9),
               Material.lambert(albedo=(0.85, 0.6, 0.3)))
-    # floor: solid y <= -1
+    # floor: solid y <= -1 — analytic: exact hit, zero march steps; a
+    # plane neither self-shadows nor contributes AO, so this is the same
+    # image for a fraction of the cost (the hybrid engine's whole point)
     scene.add(Plane(normal=(0.0, 1.0, 0.0), offset=-1.0),
-              Material.lambert(albedo=(0.5, 0.5, 0.55)), engine="sdf")
+              Material.lambert(albedo=(0.5, 0.5, 0.55)))
     scene.add_light(PointLight(position=(3.0, 4.0, -1.0),
                                color=(1.0, 0.98, 0.95)))
     cam = Camera.pinhole(size, size, fov_y_deg=45.0,
