@@ -15,8 +15,9 @@ import json
 import os
 import sys
 
-HIST = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))), "benchmarks", "history.jsonl")
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _ROOT)  # bench.py lives at the repo root
+HIST = os.path.join(_ROOT, "benchmarks", "history.jsonl")
 
 
 def main():
