@@ -73,13 +73,29 @@ def cmd_animate(args):
     center = np.asarray(anim.get("center", (0, 0, 0)), np.float32)
     ts = ts + jnp.asarray(center)
     t0 = time.time()
-    frames = jax.block_until_ready(
-        render_sequence(scene, camera, (Rs, ts), settings))
+    if args.chunk_size:
+        # chunked render with checkpoint/resume (SURVEY.md §5.4a): rerun
+        # the same command after an interruption and it skips done chunks
+        from surfjax.utils.checkpoint import SequenceCheckpointer
+        cp = SequenceCheckpointer(args.out_dir, chunk_size=args.chunk_size)
+
+        def render_chunk(start, count):
+            fb = render_sequence(
+                scene, camera,
+                (Rs[start:start + count], ts[start:start + count]),
+                settings)
+            return np.asarray(fb.rgb)
+
+        cp.render_all(n, render_chunk)
+        rgb = cp.load_all()
+    else:
+        frames = jax.block_until_ready(
+            render_sequence(scene, camera, (Rs, ts), settings))
+        rgb = np.asarray(frames.rgb)
     dt = time.time() - t0
     print(f"rendered {n} frames on-device in {dt:.3f}s "
           f"({n / dt:.2f} frames/s)")
     os.makedirs(args.out_dir, exist_ok=True)
-    rgb = np.asarray(frames.rgb)
     for i in range(n):
         save_png(os.path.join(args.out_dir, f"frame_{i:04d}.png"), rgb[i])
     print(f"wrote {n} PNGs to {args.out_dir}")
@@ -162,6 +178,8 @@ def main(argv=None):
     pa.add_argument("--config", required=True)
     pa.add_argument("--out-dir", default="frames")
     pa.add_argument("--frames", type=int, default=None)
+    pa.add_argument("--chunk-size", type=int, default=None,
+                    help="chunked render with checkpoint/resume")
     pa.set_defaults(fn=cmd_animate)
 
     pb = sub.add_parser("bench", help="run the benchmark harness")

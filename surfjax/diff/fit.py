@@ -71,6 +71,8 @@ def _frame_rgb(static, intr, settings, params, R_flat, cam_pos):
 def fit_pose(scene, camera, target_rgb, steps: int = 100, lr: float = 2e-2,
              settings: RenderSettings = RenderSettings(),
              init: Optional[Tuple[np.ndarray, np.ndarray]] = None,
+             checkpoint_path: Optional[str] = None,
+             checkpoint_every: int = 50,
              verbose: bool = False):
     """Recover the camera pose that produced `target_rgb`.
 
@@ -104,10 +106,18 @@ def fit_pose(scene, camera, target_rgb, steps: int = 100, lr: float = 2e-2,
         updates, state = opt.update(g, state)
         return optax.apply_updates(x, updates), state, loss
 
+    start = 0
+    if checkpoint_path is not None:
+        import os
+        from surfjax.utils.checkpoint import load_fit_state, save_fit_state
+        if os.path.exists(checkpoint_path):
+            start, x, state = load_fit_state(checkpoint_path, x, state)
     losses = []
-    for i in range(steps):
+    for i in range(start, steps):
         x, state, loss = step(x, state)
         losses.append(float(loss))
+        if checkpoint_path is not None and (i + 1) % checkpoint_every == 0:
+            save_fit_state(checkpoint_path, i + 1, x, state)
         if verbose and i % 10 == 0:
             print(f"fit_pose step {i}: loss {losses[-1]:.6g}")
     R = _matmul9(rodrigues(x["w"]), R0)
@@ -118,6 +128,8 @@ def fit_sdf(scene, camera, target_rgb, steps: int = 200, lr: float = 1e-2,
             settings: RenderSettings = RenderSettings(),
             param_mask: Optional[np.ndarray] = None,
             init_leaf_params: Optional[np.ndarray] = None,
+            checkpoint_path: Optional[str] = None,
+            checkpoint_every: int = 50,
             verbose: bool = False):
     """Recover SDF leaf parameters that produced `target_rgb`.
 
@@ -153,10 +165,18 @@ def fit_sdf(scene, camera, target_rgb, steps: int = 200, lr: float = 1e-2,
         updates, state = opt.update(g, state)
         return optax.apply_updates(lp, updates), state, loss
 
+    start = 0
+    if checkpoint_path is not None:
+        import os
+        from surfjax.utils.checkpoint import load_fit_state, save_fit_state
+        if os.path.exists(checkpoint_path):
+            start, lp, state = load_fit_state(checkpoint_path, lp, state)
     losses = []
-    for i in range(steps):
+    for i in range(start, steps):
         lp, state, loss = step(lp, state)
         losses.append(float(loss))
+        if checkpoint_path is not None and (i + 1) % checkpoint_every == 0:
+            save_fit_state(checkpoint_path, i + 1, lp, state)
         if verbose and i % 20 == 0:
             print(f"fit_sdf step {i}: loss {losses[-1]:.6g}")
     lp = lp0 + (lp - lp0) * mask

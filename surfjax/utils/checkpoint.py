@@ -99,7 +99,7 @@ def save_fit_state(path: str, step: int, params, opt_state=None) -> None:
 def load_fit_state(path: str, params_tree, opt_state_tree=None):
     """Restore (step, params[, opt_state]) saved by save_fit_state."""
     import jax
-    with np.load(path) as z:
+    with np.load(path, allow_pickle=False) as z:
         step = int(z["__step__"])
         p_leaves = [z[f"p{i}"] for i in
                     range(len(jax.tree.leaves(params_tree)))]
