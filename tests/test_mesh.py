@@ -75,3 +75,13 @@ def test_config4_parity():
     assert dn.max() < 1e-3
     # G-buffer sanity: depth and normal populated on hits
     assert (np.asarray(fb.depth)[np.asarray(fb.hit) > 0] > 0).all()
+
+
+def test_config4_pallas_packet_matches_golden():
+    scene, cam, settings = config4_mesh(width=192, height=108)
+    fb = render(scene, cam, settings.with_(backend="pallas", tile_rows=8))
+    gold = golden.render(scene, cam, settings)
+    assert (np.asarray(fb.hit) == gold["hit"]).mean() > 0.999
+    d = np.abs(np.asarray(fb.rgb).astype(np.float64)
+               - gold["rgb"].astype(np.float64))
+    assert d.max() < 1e-3, f"packet-kernel rgb deviates {d.max()}"
