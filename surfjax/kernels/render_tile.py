@@ -432,12 +432,18 @@ def normals_core(static, settings: RenderSettings, lp, nparams, p, obj, leaf,
         nz = jnp.where(sel, n_i[2], nz)
     if sdf_objs:
         sdf_fn = lambda pp: _scene_sdf(sdf_objs, lp, nparams, pp)
-        n_s = _fd_normal(sdf_fn, p, settings.normal_eps)
         is_sdf = jnp.zeros_like(p[0])
         for i, _ in sdf_objs:
             is_sdf = jnp.maximum(is_sdf,
                                  jnp.where(obj == F32(float(i)),
                                            F32(1.0), F32(0.0)))
+        # tiles with no SDF winner skip the 4-tap FD evaluation entirely
+        # (their lanes use analytic/mesh normals) — value-exact skip
+        n_s = jax.lax.cond(
+            jnp.max(is_sdf) > F32(0.5),
+            lambda: _fd_normal(sdf_fn, p, settings.normal_eps),
+            lambda: (jnp.zeros_like(p[0]), jnp.zeros_like(p[0]),
+                     jnp.ones_like(p[0])))
         sel = is_sdf > F32(0.5)
         nx = jnp.where(sel, n_s[0], nx)
         ny = jnp.where(sel, n_s[1], ny)
@@ -553,6 +559,36 @@ def _soft_march(sdf_fn, o, d, t_start, t_max, k, steps: int,
 # Pallas kernels
 # ---------------------------------------------------------------------------
 
+
+
+def _ao_compute(static, settings, lp, nparams, sdf_objs, p, n):
+    """AO probes with an EXACT tile-level skip: if every lane is more than
+    2*ao_radius outside every SDF object's bounding sphere, every tap has
+    h >= r, so occlusion is exactly zero -> ao = 1 without any evals.
+    (Skip disabled if any SDF object is unboundable.)"""
+    eps = F32(settings.shadow_eps)
+    p_off = (p[0] + n[0] * eps, p[1] + n[1] * eps, p[2] + n[2] * eps)
+    sdf_fn = lambda pp: _scene_sdf(sdf_objs, lp, nparams, pp)
+
+    def compute():
+        return ao_probes(sdf_fn, p_off, n, settings.ao_samples,
+                         settings.ao_radius, settings.ao_strength)
+
+    near = None
+    for _, oir in sdf_objs:
+        b = _object_bound(oir, lp, nparams)
+        if b is None:
+            return compute()
+        cx, cy, cz, R = b
+        dx = p_off[0] - cx
+        dy = p_off[1] - cy
+        dz = p_off[2] - cz
+        hb = jnp.sqrt((dx * dx + dy * dy) + dz * dz) - R
+        near = hb if near is None else jnp.minimum(near, hb)
+    pred = jnp.min(near) <= F32(2.0) * F32(settings.ao_radius)
+    return jax.lax.cond(pred, compute, lambda: jnp.ones_like(p[0]))
+
+
 def _k1_body(static, settings, n_leaves, n_nodes,
              lp_ref, np_ref,
              ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
@@ -568,11 +604,7 @@ def _k1_body(static, settings, n_leaves, n_nodes,
 
     _, sdf_objs, _ = _split(static)
     if settings.ao and sdf_objs:
-        sdf_fn = lambda pp: _scene_sdf(sdf_objs, lp, nparams, pp)
-        eps = F32(settings.shadow_eps)
-        p_off = (p[0] + n[0] * eps, p[1] + n[1] * eps, p[2] + n[2] * eps)
-        ao = ao_probes(sdf_fn, p_off, n, settings.ao_samples,
-                       settings.ao_radius, settings.ao_strength)
+        ao = _ao_compute(static, settings, lp, nparams, sdf_objs, p, n)
     else:
         ao = jnp.ones_like(p[0])
 
@@ -670,11 +702,7 @@ def scene_march_twin(static, settings: RenderSettings, leaf_params,
     n = normals_core(static, settings, lp, nparams, p, obj, leaf, d)
     _, sdf_objs, _ = _split(static)
     if settings.ao and sdf_objs:
-        sdf_fn = lambda pp: _scene_sdf(sdf_objs, lp, nparams, pp)
-        eps = F32(settings.shadow_eps)
-        p_off = (p[0] + n[0] * eps, p[1] + n[1] * eps, p[2] + n[2] * eps)
-        ao = ao_probes(sdf_fn, p_off, n, settings.ao_samples,
-                       settings.ao_radius, settings.ao_strength)
+        ao = _ao_compute(static, settings, lp, nparams, sdf_objs, p, n)
     else:
         ao = jnp.ones_like(p[0])
     return t, obj, n, ao, hit_f

@@ -198,11 +198,8 @@ def _finish_body(static, settings, n_leaves, n_nodes,
     n = normals_core(static, settings, lp, nparams, p, obj, leaf, d)
 
     if settings.ao and sdf_objs:
-        sdf_fn = lambda pp: _scene_sdf(sdf_objs, lp, nparams, pp)
-        eps = F32(settings.shadow_eps)
-        p_off = (p[0] + n[0] * eps, p[1] + n[1] * eps, p[2] + n[2] * eps)
-        ao = ao_probes(sdf_fn, p_off, n, settings.ao_samples,
-                       settings.ao_radius, settings.ao_strength)
+        from surfjax.kernels.render_tile import _ao_compute
+        ao = _ao_compute(static, settings, lp, nparams, sdf_objs, p, n)
     else:
         ao = jnp.ones_like(p[0])
 
