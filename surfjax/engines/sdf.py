@@ -427,7 +427,9 @@ def ao_probes(sdf_fn, p, n, samples: int, radius: float, strength: float):
 
     For each of `samples` fixed directions (rotated into the normal frame),
     take 4 taps at increasing radius; occlusion is how far the SDF falls
-    short of the unoccluded distance. Returns ao factor in [0, 1].
+    short of the TANGENT-PLANE response cos(theta)*r (so the receiver's own
+    plane contributes exactly zero — an isolated plane point reads the
+    fully open hemisphere). Returns ao factor in [0, 1].
     """
     samples = min(samples, len(_AO_DIRS))
     # orthonormal frame (t1, t2, n) — branch on |n.y| to avoid degeneracy
@@ -450,6 +452,6 @@ def ao_probes(sdf_fn, p, n, samples: int, radius: float, strength: float):
         for tap in range(1, 5):
             r = rad * F32(tap) * F32(0.25)
             h = sdf_fn((p[0] + dx * r, p[1] + dy * r, p[2] + dz * r))
-            occ = occ + jnp.maximum(r - h, F32(0.0)) / r
+            occ = occ + jnp.maximum(F32(az) * r - h, F32(0.0)) / r
     occ = occ / F32(samples * 4)
     return saturate(F32(1.0) - F32(strength) * occ)

@@ -416,7 +416,7 @@ float ao_probe(const Scene &S, const Vec &p, const Vec &n) {
       float r = S.ao_radius * (float)tap * 0.25f;
       Vec q{p.x + dir.x * r, p.y + dir.y * r, p.z + dir.z * r};
       float h = scene_sdf_nonmesh(S, q);
-      occ = occ + std::fmax(r - h, 0.0f) / r;
+      occ = occ + std::fmax(az * r - h, 0.0f) / r;
     }
   }
   occ = occ / (float)(samples * 4);

@@ -769,6 +769,6 @@ def _ao(sdf_fn, p, n, samples, radius, strength):
         for tap in range(1, 5):
             rr = rad * F(tap) * F(0.25)
             h = sdf_fn((p[0] + dx * rr, p[1] + dy * rr, p[2] + dz * rr))
-            occ = occ + np.maximum(rr - h, F(0.0)) / rr
+            occ = occ + np.maximum(F(az) * rr - h, F(0.0)) / rr
     occ = occ / F(samples * 4)
     return _saturate(F(1.0) - F(strength) * occ)
