@@ -32,6 +32,15 @@ from surfjax.core.types import FrameBuffers, RenderSettings
 from surfjax.pipeline.frame import render_rays
 
 
+def _render_fn(static, settings):
+    """Per-shard renderer honoring settings.backend (each device runs its
+    own Pallas kernels on its ray shard)."""
+    if settings.backend == "pallas":
+        from surfjax.kernels.render_tile import render_rays_pallas
+        return lambda p, o, d: render_rays_pallas(static, settings, p, o, d)
+    return lambda p, o, d: render_rays(static, settings, p, o, d)
+
+
 def initialize_distributed(**kw) -> None:
     """Multi-host init (no-op on a single host / single slice)."""
     try:
@@ -88,12 +97,13 @@ def render_frame_sharded(scene, camera, settings: RenderSettings = RenderSetting
     def run(params, R_flat, cam_pos):
         o, d, _ = _flat_rays(intr, R_flat, cam_pos, pad_to=n_tile)
         fn = shard_map(
-            lambda p, oo, dd: render_rays(static, settings, p, oo, dd),
+            _render_fn(static, settings),
             mesh=mesh,
             in_specs=(P(), spec_rays, spec_rays),
             out_specs=FrameBuffers(rgb=spec_rays, depth=spec_rays,
                                    normal=spec_rays, hit=spec_rays,
                                    obj_id=spec_rays),
+            check_rep=False,  # pallas_call outputs carry no rep metadata
         )
         return fn(params, o, d)
 
@@ -125,6 +135,8 @@ def render_sequence_sharded(scene, camera, poses,
     @functools.partial(jax.jit, static_argnums=())
     def run(params, R_flats, positions):
         def per_device(p, Rs, ts):
+            render_local = _render_fn(static, settings)
+
             def frame(R, t):
                 o, d, _ = _flat_rays(intr, R, t, pad_to=n_tile)
                 # rays on this device: shard manually by tile index
@@ -133,7 +145,7 @@ def render_sequence_sharded(scene, camera, poses,
                 sl = lambda a: jax.lax.dynamic_slice_in_dim(a, ti * per, per)
                 o_l = tuple(sl(c) for c in o)
                 d_l = tuple(sl(c) for c in d)
-                return render_rays(static, settings, p, o_l, d_l)
+                return render_local(p, o_l, d_l)
             return jax.vmap(frame)(Rs, ts)
 
         fn = shard_map(
@@ -144,6 +156,7 @@ def render_sequence_sharded(scene, camera, poses,
                                    normal=P("frame", "tile"),
                                    hit=P("frame", "tile"),
                                    obj_id=P("frame", "tile")),
+            check_rep=False,  # pallas_call outputs carry no rep metadata
         )
         return fn(params, R_flats, positions)
 

@@ -45,3 +45,15 @@ def test_render_sequence_sharded_matches_unsharded():
     np.testing.assert_array_equal(np.asarray(ref.hit), np.asarray(out.hit))
     # frames actually animate
     assert np.abs(np.asarray(out.rgb[0]) - np.asarray(out.rgb[-1])).max() > 0.01
+
+
+def test_pallas_backend_under_shard_map():
+    """Each device runs its own Pallas kernels on its ray shard — the real
+    multi-chip configuration, validated on the fake 8-device mesh."""
+    scene, cam, settings = config2_csg(size=64)
+    settings = settings.with_(backend="pallas", tile_rows=8)
+    ref = render(scene, cam, settings)
+    out = render_frame_sharded(scene, cam, settings, make_mesh(1, 8))
+    np.testing.assert_allclose(np.asarray(ref.rgb), np.asarray(out.rgb),
+                               atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(ref.hit), np.asarray(out.hit))
