@@ -6,9 +6,10 @@
 // exactly the written order — the same FP discipline the NumPy golden and
 // the (eager) JAX path follow.
 //
-// Scope: analytic (sphere/plane/box + event CSG) and SDF (smooth ops +
-// trig-free power-8 Mandelbulb) engines, Lambert/Blinn-Phong, hard/soft
-// shadows, AO probes. Triangle meshes are covered by the NumPy golden.
+// Scope: analytic (sphere/plane/box + event CSG), SDF (smooth ops +
+// trig-free power-8 Mandelbulb), and triangle-mesh (brute-force
+// Moller-Trumbore + barycentric vertex normals) engines; Lambert /
+// Blinn-Phong, hard/soft shadows, AO probes.
 //
 // Scene data arrives as flat tables (the same SoA data model the compiler
 // emits); the math here shares no code with either other implementation.
@@ -74,7 +75,7 @@ struct Scene {
   float fx, fy, cx, cy;
   float R[9];
   Vec pos;
-  float t_min, t_max, hit_eps, normal_eps, shadow_eps;
+  float t_min, t_max, hit_eps, hit_eps_scale, normal_eps, shadow_eps;
   int max_steps, shadow_steps;
   float soft_k, soft_tmin;
   int ao_samples;
@@ -93,7 +94,90 @@ struct Scene {
   const float *lights;      // (NL, 7)
   const int32_t *light_kinds;
   int n_lights;
+  // mesh tables (brute force): one shared vertex/face pool; per-object
+  // ranges live in obj row slots via mesh_off/mesh_cnt arrays
+  const float *mesh_verts;   // (V, 3)
+  const float *mesh_vnorm;   // (V, 3) area-weighted vertex normals
+  const int32_t *mesh_faces; // (F, 3)
+  const int32_t *mesh_obj;   // per scene object: [face_off, face_cnt,
+                             //  smooth] x n_objs (zeros for non-mesh)
 };
+
+bool mesh_intersect(const Scene &S, int obj_i, const Vec &o, const Vec &d,
+                    float t_min, float t_max, float *t_out, int *tri_out,
+                    float *u_out, float *v_out) {
+  const int32_t *mo = S.mesh_obj + 3 * obj_i;
+  int off = mo[0], cnt = mo[1];
+  float t_best = BIG;
+  int tri_best = -1;
+  float ub = 0.0f, vb = 0.0f;
+  const float eps = 1e-9f;
+  for (int f = off; f < off + cnt; ++f) {
+    const int32_t *fc = S.mesh_faces + 3 * f;
+    const float *a = S.mesh_verts + 3 * fc[0];
+    const float *b = S.mesh_verts + 3 * fc[1];
+    const float *c = S.mesh_verts + 3 * fc[2];
+    Vec e1{b[0] - a[0], b[1] - a[1], b[2] - a[2]};
+    Vec e2{c[0] - a[0], c[1] - a[1], c[2] - a[2]};
+    Vec pv{d.y * e2.z - d.z * e2.y, d.z * e2.x - d.x * e2.z,
+           d.x * e2.y - d.y * e2.x};
+    float det = dot(e1, pv);
+    if (std::fabs(det) <= eps) continue;
+    float inv_det = 1.0f / det;
+    Vec tv{o.x - a[0], o.y - a[1], o.z - a[2]};
+    float u = dot(tv, pv) * inv_det;
+    Vec qv{tv.y * e1.z - tv.z * e1.y, tv.z * e1.x - tv.x * e1.z,
+           tv.x * e1.y - tv.y * e1.x};
+    float v = dot(d, qv) * inv_det;
+    float t = dot(e2, qv) * inv_det;
+    if (u >= 0.0f && v >= 0.0f && u + v <= 1.0f && t > t_min && t < t_max
+        && t < t_best) {
+      t_best = t;
+      tri_best = f;
+      ub = u;
+      vb = v;
+    }
+  }
+  *t_out = t_best;
+  *tri_out = tri_best;
+  *u_out = ub;
+  *v_out = vb;
+  return tri_best >= 0;
+}
+
+Vec mesh_normal(const Scene &S, int obj_i, int tri, const Vec &p) {
+  // barycentrics recomputed by projecting the hit point p — the same
+  // definition the jnp engine and NumPy golden use (Hit carries no u,v)
+  const int32_t *mo = S.mesh_obj + 3 * obj_i;
+  const int32_t *fc = S.mesh_faces + 3 * tri;
+  const float *a = S.mesh_verts + 3 * fc[0];
+  const float *b = S.mesh_verts + 3 * fc[1];
+  const float *c = S.mesh_verts + 3 * fc[2];
+  Vec e1{b[0] - a[0], b[1] - a[1], b[2] - a[2]};
+  Vec e2{c[0] - a[0], c[1] - a[1], c[2] - a[2]};
+  if (!mo[2]) {  // flat: geometric normal
+    return normalize({e1.y * e2.z - e1.z * e2.y, e1.z * e2.x - e1.x * e2.z,
+                      e1.x * e2.y - e1.y * e2.x});
+  }
+  Vec w_{p.x - a[0], p.y - a[1], p.z - a[2]};
+  float d11 = dot(e1, e1);
+  float d12 = dot(e1, e2);
+  float d22 = dot(e2, e2);
+  float dw1 = dot(w_, e1);
+  float dw2 = dot(w_, e2);
+  float denom = d11 * d22 - d12 * d12;
+  if (std::fabs(denom) < 1e-20f) denom = 1e-20f;
+  float u = (d22 * dw1 - d12 * dw2) / denom;
+  float v = (d11 * dw2 - d12 * dw1) / denom;
+  float w = 1.0f - u - v;
+  const float *n0 = S.mesh_vnorm + 3 * fc[0];
+  const float *n1 = S.mesh_vnorm + 3 * fc[1];
+  const float *n2 = S.mesh_vnorm + 3 * fc[2];
+  Vec n{(w * n0[0] + u * n1[0]) + v * n2[0],
+        (w * n0[1] + u * n1[1]) + v * n2[1],
+        (w * n0[2] + u * n1[2]) + v * n2[2]};
+  return normalize(n);
+}
 
 struct ObjView {
   int engine, node_off, n_nodes, leaf_off, n_leaves, mat, shininess;
@@ -346,7 +430,7 @@ float sphere_trace(const Scene &S, const ObjView &O, const Vec &o,
   for (int i = 0; i < S.max_steps; ++i) {
     Vec p{o.x + t * d.x, o.y + t * d.y, o.z + t * d.z};
     float h = eval_sdf(S, O, p);
-    if (h < S.hit_eps) { *hit = true; return t; }
+    if (h < S.hit_eps + S.hit_eps_scale * t) { *hit = true; return t; }
     if (t > t_max) return BIG;
     t = t + h;
   }
@@ -424,25 +508,36 @@ float ao_probe(const Scene &S, const Vec &p, const Vec &n) {
 }
 
 void trace_scene(const Scene &S, const Vec &o, const Vec &d, float t_min,
-                 float t_max, float *t_out, int *obj_out, int *leaf_out) {
+                 float t_max, float *t_out, int *obj_out, int *leaf_out,
+                 float *u_out = nullptr, float *v_out = nullptr) {
   float t_best = BIG;
   int obj_best = -1, leaf_best = 0;
+  float u_best = 0.0f, v_best = 0.0f;
   for (int i = 0; i < S.n_objs; ++i) {
     ObjView O = obj_view(S, i);
     float t_i = BIG;
     int leaf_i = 0;
+    float u_i = 0.0f, v_i = 0.0f;
     if (O.engine == ENGINE_ANALYTIC) {
       intersect_analytic(S, O, o, d, t_min, t_max, &t_i, &leaf_i);
     } else if (O.engine == ENGINE_SDF) {
       bool hit;
       t_i = sphere_trace(S, O, o, d, t_min, t_max, &hit);
       if (!hit) t_i = BIG;
+    } else {  // ENGINE_MESH (brute force)
+      int tri;
+      mesh_intersect(S, i, o, d, t_min, t_max, &t_i, &tri, &u_i, &v_i);
+      leaf_i = tri;
     }
-    if (t_i < t_best) { t_best = t_i; obj_best = i; leaf_best = leaf_i; }
+    if (t_i < t_best) {
+      t_best = t_i; obj_best = i; leaf_best = leaf_i;
+      u_best = u_i; v_best = v_i;
+    }
   }
   *t_out = t_best;
   *obj_out = obj_best;
   *leaf_out = leaf_best;
+  if (u_out) { *u_out = u_best; *v_out = v_best; }
 }
 
 }  // namespace
@@ -452,6 +547,8 @@ extern "C" void sj_golden_render(
     int n_objs, const int32_t *nodes, const int32_t *leaf_meta,
     const float *leaf_params, const float *node_k, const float *materials,
     const float *lights, const int32_t *light_kinds, int n_lights,
+    const float *mesh_verts, const float *mesh_vnorm,
+    const int32_t *mesh_faces, const int32_t *mesh_obj,
     float *out_rgb, float *out_depth, float *out_normal, float *out_hit) {
   Scene S;
   int fi = 0;
@@ -460,7 +557,8 @@ extern "C" void sj_golden_render(
   for (int i = 0; i < 9; ++i) S.R[i] = headerf[fi++];
   S.pos = {headerf[fi], headerf[fi + 1], headerf[fi + 2]}; fi += 3;
   S.t_min = headerf[fi++]; S.t_max = headerf[fi++];
-  S.hit_eps = headerf[fi++]; S.normal_eps = headerf[fi++];
+  S.hit_eps = headerf[fi++]; S.hit_eps_scale = headerf[fi++];
+  S.normal_eps = headerf[fi++];
   S.shadow_eps = headerf[fi++];
   S.soft_k = headerf[fi++]; S.soft_tmin = headerf[fi++];
   S.ao_radius = headerf[fi++]; S.ao_strength = headerf[fi++];
@@ -479,6 +577,8 @@ extern "C" void sj_golden_render(
   S.leaf_params = leaf_params; S.node_k = node_k;
   S.materials = materials; S.lights = lights;
   S.light_kinds = light_kinds; S.n_lights = n_lights;
+  S.mesh_verts = mesh_verts; S.mesh_vnorm = mesh_vnorm;
+  S.mesh_faces = mesh_faces; S.mesh_obj = mesh_obj;
 
   for (int row = 0; row < S.height; ++row) {
     for (int col = 0; col < S.width; ++col) {
@@ -493,25 +593,47 @@ extern "C" void sj_golden_render(
 
       float t;
       int obj_id, leaf_id;
-      trace_scene(S, o, d, S.t_min, S.t_max, &t, &obj_id, &leaf_id);
+      float uu, vv;
+      trace_scene(S, o, d, S.t_min, S.t_max, &t, &obj_id, &leaf_id,
+                  &uu, &vv);
       bool hit = t < BIG * 0.5f;
       float ts = hit ? t : 0.0f;
       Vec p{o.x + ts * d.x, o.y + ts * d.y, o.z + ts * d.z};
 
       Vec n{0.0f, 0.0f, 1.0f};
+      Vec n_off_v{0.0f, 0.0f, 1.0f};
       if (hit) {
         ObjView O = obj_view(S, obj_id);
         if (O.engine == ENGINE_ANALYTIC) {
           Vec ln = leaf_normal(S, O, leaf_id, p);
           float sgn = (float)S.leaf_meta[4 * (O.leaf_off + leaf_id) + 1];
           n = scale(ln, sgn);
-        } else {
+          if (dot(n, d) > 0.0f) n = scale(n, -1.0f);
+          n_off_v = n;
+        } else if (O.engine == ENGINE_SDF) {
           n = normal_fd(S, O, p);
+          if (dot(n, d) > 0.0f) n = scale(n, -1.0f);
+          n_off_v = n;
+        } else {
+          n = mesh_normal(S, obj_id, leaf_id, p);
+          if (dot(n, d) > 0.0f) n = scale(n, -1.0f);
+          // geometric normal for the secondary-ray offset
+          const int32_t *fc = S.mesh_faces + 3 * leaf_id;
+          const float *a = S.mesh_verts + 3 * fc[0];
+          const float *b = S.mesh_verts + 3 * fc[1];
+          const float *c = S.mesh_verts + 3 * fc[2];
+          Vec e1{b[0] - a[0], b[1] - a[1], b[2] - a[2]};
+          Vec e2{c[0] - a[0], c[1] - a[1], c[2] - a[2]};
+          Vec gn = normalize({e1.y * e2.z - e1.z * e2.y,
+                              e1.z * e2.x - e1.x * e2.z,
+                              e1.x * e2.y - e1.y * e2.x});
+          if (dot(gn, d) > 0.0f) gn = scale(gn, -1.0f);
+          n_off_v = gn;
         }
-        if (dot(n, d) > 0.0f) n = scale(n, -1.0f);
       }
-      Vec p_off{p.x + n.x * S.shadow_eps, p.y + n.y * S.shadow_eps,
-                p.z + n.z * S.shadow_eps};
+      Vec p_off{p.x + n_off_v.x * S.shadow_eps,
+                p.y + n_off_v.y * S.shadow_eps,
+                p.z + n_off_v.z * S.shadow_eps};
 
       float ao = 1.0f;
       if (S.ao && hit) ao = ao_probe(S, p_off, n);

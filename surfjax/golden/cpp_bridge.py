@@ -40,7 +40,8 @@ def _load():
         i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
         lib.sj_golden_render.argtypes = [
             f32p, i32p, i32p, ctypes.c_int, i32p, i32p, f32p, f32p, f32p,
-            f32p, i32p, ctypes.c_int, f32p, f32p, f32p, f32p,
+            f32p, i32p, ctypes.c_int, f32p, f32p, i32p, i32p,
+            f32p, f32p, f32p, f32p,
         ]
         lib.sj_golden_render.restype = None
         _lib = lib
@@ -52,9 +53,25 @@ def render(scene, camera, settings) -> Dict[str, np.ndarray]:
 
     static, params = compile_scene(scene)
     ir = static.ir
-    if any(o.engine == ENGINE_MESH for o in ir.objects):
-        raise NotImplementedError(
-            "C++ golden covers non-mesh scenes; use the NumPy golden")
+
+    # mesh pools (vertex indices offset per mesh)
+    mesh_verts = []
+    mesh_vnorm = []
+    mesh_faces = []
+    mesh_obj_rows = []
+    v_off = 0
+    f_off = 0
+    mesh_face_ranges = {}
+    for mi in range(ir.n_meshes):
+        verts = params[f"mesh{mi}_verts"]
+        vnorm = params[f"mesh{mi}_vert_n"]
+        faces = params[f"mesh{mi}_faces"]
+        mesh_verts.append(np.asarray(verts, np.float32))
+        mesh_vnorm.append(np.asarray(vnorm, np.float32))
+        mesh_faces.append(np.asarray(faces, np.int32) + v_off)
+        mesh_face_ranges[mi] = (f_off, faces.shape[0])
+        v_off += verts.shape[0]
+        f_off += faces.shape[0]
 
     objs = []
     nodes = []
@@ -65,6 +82,12 @@ def render(scene, camera, settings) -> Dict[str, np.ndarray]:
         leaf_off = len(leaf_meta)
         objs.append([o.engine, node_off, len(o.nodes), leaf_off,
                      len(o.leaves), o.mat, o.shininess])
+        if o.engine == ENGINE_MESH:
+            off, cnt = mesh_face_ranges[o.mesh]
+            smooth = int(static.mesh_static[o.mesh].smooth)
+            mesh_obj_rows.append([off, cnt, smooth])
+        else:
+            mesh_obj_rows.append([0, 0, 0])
         for nd in o.nodes:
             nodes.append([nd.op, nd.a, nd.b, nd.leaf, max(nd.pslot, 0)])
         for lf in o.leaves:
@@ -78,6 +101,7 @@ def render(scene, camera, settings) -> Dict[str, np.ndarray]:
     headerf = np.asarray(
         [intr.fx, intr.fy, intr.cx, intr.cy, *R, *pos,
          settings.t_min, settings.t_max, settings.hit_eps,
+         settings.hit_eps_scale,
          settings.normal_eps, settings.shadow_eps,
          settings.soft_shadow_k, settings.soft_shadow_tmin,
          settings.ao_radius, settings.ao_strength,
@@ -106,6 +130,13 @@ def render(scene, camera, settings) -> Dict[str, np.ndarray]:
         params["materials"].astype(np.float32).reshape(-1),
         params["lights"].astype(np.float32).reshape(-1),
         light_kinds, len(ir.lights),
+        (np.concatenate(mesh_verts).reshape(-1) if mesh_verts
+         else np.zeros(3, np.float32)),
+        (np.concatenate(mesh_vnorm).reshape(-1) if mesh_vnorm
+         else np.zeros(3, np.float32)),
+        (np.concatenate(mesh_faces).reshape(-1).astype(np.int32)
+         if mesh_faces else np.zeros(3, np.int32)),
+        np.asarray(mesh_obj_rows, np.int32).reshape(-1),
         out_rgb, out_depth, out_normal, out_hit)
 
     H, W = intr.height, intr.width

@@ -45,3 +45,13 @@ def test_cpp_matches_numpy_sdf_scene():
     np.testing.assert_array_equal(a["hit"], b["hit"])
     m = max_ulp(a["rgb"], b["rgb"])
     assert m <= 1, f"C++ vs NumPy golden differ by {m} ULP (SDF scene)"
+
+
+def test_cpp_matches_numpy_mesh_scene():
+    from tests.scenes import config4_mesh
+    scene, cam, settings = config4_mesh(width=96, height=54)
+    a = _cpp().render(scene, cam, settings)
+    b = golden_np.render(scene, cam, settings)
+    np.testing.assert_array_equal(a["hit"], b["hit"])
+    m = max_ulp(a["rgb"], b["rgb"])
+    assert m <= 1, f"C++ vs NumPy golden differ by {m} ULP (mesh scene)"
