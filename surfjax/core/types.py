@@ -43,6 +43,7 @@ class RenderSettings:
     march_mode: str = "tile"
     # Pallas tiling: rays per tile block = tile_rows * 128
     tile_rows: int = 64
+    subtile_rows: int = 0         # per-(N,128) sub-block march loops (0=off)
 
     def with_(self, **kw) -> "RenderSettings":
         return dataclasses.replace(self, **kw)

@@ -311,6 +311,24 @@ _PROXY_SWITCH = 0.08  # hand off to the full SDF within this proxy distance
 MARCH_UNROLL = 1      # full-SDF march substeps per while trip (eval-bound)
 
 
+def _by_subtile(march, n_out, rows_per: int, o, d, clip):
+    """Run a march over independent (rows_per, 128) sub-blocks of the tile,
+    each with its own while loop — finer early-exit granularity than the
+    whole tile, recovering part of the intra-tile divergence tax."""
+    rows = o[0].shape[0]
+    if rows_per <= 0 or rows <= rows_per:
+        return march(o, d, clip)
+    clip_arr = clip * jnp.ones_like(o[0])
+    outs = [[] for _ in range(n_out)]
+    for k in range(rows // rows_per):
+        sl = slice(k * rows_per, (k + 1) * rows_per)
+        res = march(tuple(c[sl] for c in o), tuple(c[sl] for c in d),
+                    clip_arr[sl])
+        for j in range(n_out):
+            outs[j].append(res[j])
+    return tuple(jnp.concatenate(ch, axis=0) for ch in outs)
+
+
 def _march2(proxy_fn, sdf_fn, o, d, t_start, t_clip, max_steps: int,
             hit_eps: float, relax: float = 1.0, eps_scale: float = 0.0):
     """Two-phase march: cheap proxy until near geometry, then full SDF.
@@ -388,10 +406,15 @@ def trace_core(static, settings: RenderSettings, lp, nparams, o, d,
         sdf_fn = lambda p: _scene_sdf(sdf_objs, lp, nparams, p)
         proxy_fn = _proxy_sdf_fn(sdf_objs, lp, nparams)
         t_clip = jnp.minimum(t_a, F32(t_max))
-        t_s, hit_s = _march2(proxy_fn, sdf_fn, o, d, t_min, t_clip,
-                             settings.max_steps, settings.hit_eps,
-                             relax=settings.over_relax,
-                             eps_scale=settings.hit_eps_scale)
+
+        def run_march(o_s, d_s, clip_s):
+            return _march2(proxy_fn, sdf_fn, o_s, d_s, t_min, clip_s,
+                           settings.max_steps, settings.hit_eps,
+                           relax=settings.over_relax,
+                           eps_scale=settings.hit_eps_scale)
+
+        t_s, hit_s = _by_subtile(run_march, 2, settings.subtile_rows,
+                                 o, d, t_clip)
         sdf_wins = (hit_s > F32(0.5)) & (t_s < t_a)
         # which SDF object won: argmin of per-object SDF at the hit point
         if len(sdf_objs) == 1:
