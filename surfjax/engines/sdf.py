@@ -153,7 +153,9 @@ def sdf_mandelbulb_while(prm, p, power: int, iterations: int):
         active = esc < F32(0.5)
         m2 = m * m
         m4 = m2 * m2
-        dz_new = F32(8.0) * jnp.sqrt((m4 * m2) * m) * dz + F32(1.0)
+        # m^3.5 = m^4 * rsqrt(m); hardware rsqrt — this is the kernel-fast
+        # path, and the Mandelbulb carries the chaos tolerance carve-out
+        dz_new = F32(8.0) * ((m4 * jax.lax.rsqrt(m)) * dz) + F32(1.0)
         x, y, z = wx, wy, wz
         x2 = x * x
         x4 = x2 * x2
@@ -164,7 +166,7 @@ def sdf_mandelbulb_while(prm, p, power: int, iterations: int):
         k3 = x2 + z2
         k3s = jnp.maximum(k3, tiny)
         k37 = ((k3s * k3s) * (k3s * k3s)) * ((k3s * k3s) * k3s)
-        k2 = F32(1.0) / jnp.sqrt(k37)
+        k2 = jax.lax.rsqrt(k37)
         k1 = ((x4 + y4) + z4) - F32(6.0) * (y2 * z2) \
             - F32(6.0) * (x2 * y2) + F32(2.0) * (z2 * x2)
         k4 = (x2 - y2) + z2
