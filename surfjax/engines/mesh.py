@@ -128,8 +128,11 @@ def build_grid(mesh, grid_res=None) -> MeshTables:
 
 
 def _mesh_arrays(params, mesh_idx):
+    # key format is mesh{i}_{name} where name starts with a letter, so a
+    # digit boundary check prevents mesh1_ matching mesh10_* keys
     pre = f"mesh{mesh_idx}_"
-    return {k[len(pre):]: v for k, v in params.items() if k.startswith(pre)}
+    return {k[len(pre):]: v for k, v in params.items()
+            if k.startswith(pre) and not k[len(pre)].isdigit()}
 
 
 def intersect_mesh(ms: MeshStatic, mesh_idx: int, params, o, d,

@@ -85,3 +85,16 @@ def test_validate_framebuffers():
     rep = validate_framebuffers(fb)
     assert rep["ok"], rep
     assert 0.0 < rep["hit_frac"] < 1.0
+
+
+def test_obj_loader_roundtrip(tmp_path):
+    from surfjax.config import load_obj
+    p = tmp_path / "tri.obj"
+    p.write_text("# comment\n"
+                 "v 0 0 0\nv 1 0 0\nv 0 1 0\nv 1 1 0\n"
+                 "f 1 2 3\n"
+                 "f 1/1 2/2 4/4 3/3\n")  # quad with /uv -> two tris
+    v, f = load_obj(str(p))
+    assert v.shape == (4, 3)
+    assert f.shape == (3, 3)  # 1 tri + quad fan (2 tris)
+    assert f.max() == 3 and f.min() == 0
