@@ -192,21 +192,29 @@ class Scene:
         self.objects: List[SceneObject] = []
         self.lights: List[Light] = []
         self.ambient: Vec3f = (1.0, 1.0, 1.0)
+        self._frozen = None
 
     def add(self, node: SceneNode, material: Optional[Material] = None,
             engine: Optional[str] = None) -> "Scene":
         self.objects.append(SceneObject(node, material or Material.lambert(),
                                         engine))
+        self._frozen = None
         return self
 
     def add_light(self, light: Light) -> "Scene":
         self.lights.append(light)
+        self._frozen = None
         return self
 
     def freeze(self):
-        """Compile to (SceneIR static, SceneParams dynamic). Cached."""
-        from surfjax.core.scene_compile import compile_scene
-        return compile_scene(self)
+        """Compile to (SceneIR static, SceneParams dynamic).
+
+        Memoized until the scene is mutated — mesh uniform-grid builds are
+        host-side Python loops that must not rerun per frame."""
+        if self._frozen is None:
+            from surfjax.core.scene_compile import compile_scene
+            self._frozen = compile_scene(self)
+        return self._frozen
 
 
 # ---------------------------------------------------------------------------

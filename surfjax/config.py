@@ -24,6 +24,9 @@ from surfjax import api
 from surfjax.core.types import RenderSettings
 
 
+_CONFIG_DIR = [None]  # set by load_config for config-relative obj paths
+
+
 def _node(d: dict) -> api.SceneNode:
     t = d["type"]
     if t == "sphere":
@@ -43,7 +46,11 @@ def _node(d: dict) -> api.SceneNode:
             from surfjax.meshgen import octasphere
             v, f = octasphere(int(d.get("subdivisions", 2)))
         elif "obj" in d:
-            v, f = load_obj(d["obj"])
+            import os
+            path = d["obj"]
+            if not os.path.isabs(path) and _CONFIG_DIR[0]:
+                path = os.path.join(_CONFIG_DIR[0], path)
+            v, f = load_obj(path)
         else:
             raise ValueError("mesh node needs generate: or obj:")
         v = np.asarray(v, np.float32) * float(d.get("scale", 1.0))
@@ -93,9 +100,12 @@ def load_obj(path: str):
 
 def load_config(path: str):
     """-> (scene, camera, settings, extras dict)."""
+    import os
+
     import yaml
     with open(path) as fh:
         cfg = yaml.safe_load(fh)
+    _CONFIG_DIR[0] = os.path.dirname(os.path.abspath(path))
 
     scene = api.Scene()
     for od in cfg.get("objects", []):

@@ -60,12 +60,21 @@ def look_at(eye, target, up=(0.0, 1.0, 0.0)) -> Tuple[Mat3, Tuple[float, float, 
     """
     fz = [target[i] - eye[i] for i in range(3)]
     n = math.sqrt(fz[0] * fz[0] + fz[1] * fz[1] + fz[2] * fz[2])
+    if n < 1e-12:
+        raise ValueError("look_at: eye and target coincide")
     fz = [v / n for v in fz]
     # right = normalize(cross(fz, up_world))  (y-down convention)
     rx = [fz[1] * up[2] - fz[2] * up[1],
           fz[2] * up[0] - fz[0] * up[2],
           fz[0] * up[1] - fz[1] * up[0]]
     n = math.sqrt(rx[0] * rx[0] + rx[1] * rx[1] + rx[2] * rx[2])
+    if n < 1e-8:
+        # view direction parallel to up: fall back to a perpendicular up
+        up = (0.0, 0.0, 1.0) if abs(fz[2]) < 0.9 else (1.0, 0.0, 0.0)
+        rx = [fz[1] * up[2] - fz[2] * up[1],
+              fz[2] * up[0] - fz[0] * up[2],
+              fz[0] * up[1] - fz[1] * up[0]]
+        n = math.sqrt(rx[0] * rx[0] + rx[1] * rx[1] + rx[2] * rx[2])
     rx = [v / n for v in rx]
     # down = cross(fz, rx)
     dy = [fz[1] * rx[2] - fz[2] * rx[1],

@@ -120,6 +120,14 @@ def sdf_mandelbulb(prm, p, power: int, iterations: int):
 
     r = jnp.sqrt(m)
     de = F32(0.25) * jnp.log(m) * r / dz
+    # far-field guard: the raw DE overestimates distance for far points
+    # (escape at iteration ~0, dz ~ 1 => de ~ 0.5*r*ln r), which makes the
+    # march overshoot INTO the set. The set lies in a ball of radius 1.25
+    # (scaled), so dist >= |p| - 1.25 is a true lower bound; stepping by
+    # it is always safe and the clamp only binds far away.
+    r0 = jnp.sqrt((px * px + py * py) + pz * pz)
+    far = r0 - F32(1.25)
+    de = jnp.where(far > F32(0.0), jnp.minimum(de, far), de)
     return de * scale
 
 
@@ -189,6 +197,10 @@ def sdf_mandelbulb_while(prm, p, power: int, iterations: int):
         cond, body, (0, px, py, pz, jnp.ones_like(m0), m0, esc0))
     r = jnp.sqrt(m)
     de = F32(0.25) * jnp.log(m) * r / dz
+    # far-field guard -- see sdf_mandelbulb
+    r0 = jnp.sqrt(m0)
+    far = r0 - F32(1.25)
+    de = jnp.where(far > F32(0.0), jnp.minimum(de, far), de)
     return de * scale
 
 

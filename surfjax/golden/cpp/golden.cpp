@@ -389,7 +389,12 @@ float leaf_sdf(const Scene &S, const ObjView &O, int li, const Vec &p) {
     mm = (wx * wx + wy * wy) + wz * wz;
   }
   float r = std::sqrt(mm);
-  return (0.25f * std::log(mm) * r / dz) * scale;
+  float de = 0.25f * std::log(mm) * r / dz;
+  // far-field guard -- see engines/sdf.sdf_mandelbulb
+  float r0 = std::sqrt((px * px + py * py) + pz * pz);
+  float far_ = r0 - 1.25f;
+  if (far_ > 0.0f && far_ < de) de = far_;
+  return de * scale;
 }
 
 float eval_sdf(const Scene &S, const ObjView &O, const Vec &p) {

@@ -348,7 +348,12 @@ def _sdf_mandelbulb(n: api.Mandelbulb, p):
         m = np.where(active, (wx * wx + wy * wy) + wz * wz, m)
         escaped = escaped | (m > bailout2)
     r = np.sqrt(m)
-    return (F(0.25) * np.log(m) * r / dz) * scale
+    de = F(0.25) * np.log(m) * r / dz
+    # far-field guard -- see engines/sdf.sdf_mandelbulb
+    r0 = np.sqrt((px * px + py * py) + pz * pz)
+    far = r0 - F(1.25)
+    de = np.where(far > F(0.0), np.minimum(de, far), de)
+    return de * scale
 
 
 def _eval_sdf(obj: _Obj, p):
@@ -579,7 +584,12 @@ def render(scene: api.Scene, camera: api.Camera,
     nz = np.ones_like(p[0])
     for i, ob in enumerate(objs):
         if ob.is_mesh:
-            n_i = _mesh_normal(ob.mesh, p, leaf_id)
+            # leaf_id holds OTHER meshes' triangle ids on non-matching
+            # lanes; clamp before the gather (values are discarded by sel)
+            n_faces = np.asarray(ob.mesh.faces).shape[0]
+            tri_safe = np.clip(np.where(obj_id == np.int32(i), leaf_id, 0),
+                               0, n_faces - 1)
+            n_i = _mesh_normal(ob.mesh, p, tri_safe)
         elif (not ob.is_sdf) and settings.normals == "auto":
             lnx = np.zeros_like(p[0])
             lny = np.zeros_like(p[0])
@@ -609,9 +619,11 @@ def render(scene: api.Scene, camera: api.Camera,
         if ob.is_mesh:
             verts = np.asarray(ob.mesh.vertices, np.float32)
             faces = np.asarray(ob.mesh.faces, np.int32)
-            gv0 = verts[faces[leaf_id, 0]]
-            gv1 = verts[faces[leaf_id, 1]]
-            gv2 = verts[faces[leaf_id, 2]]
+            tri_safe = np.clip(np.where(obj_id == np.int32(i), leaf_id, 0),
+                               0, faces.shape[0] - 1)
+            gv0 = verts[faces[tri_safe, 0]]
+            gv1 = verts[faces[tri_safe, 1]]
+            gv2 = verts[faces[tri_safe, 2]]
             ge1 = (gv1[..., 0] - gv0[..., 0], gv1[..., 1] - gv0[..., 1],
                    gv1[..., 2] - gv0[..., 2])
             ge2 = (gv2[..., 0] - gv0[..., 0], gv2[..., 1] - gv0[..., 1],

@@ -41,22 +41,6 @@ from surfjax.kernels.render_tile import LANES, _interpret
 PACKET_K = 1024  # candidate budget per tile; overflow -> full-table scan
 
 
-def pack_tris(arrays) -> jnp.ndarray:
-    """(F, 24) packed rows: v0(3) e1(3) e2(3) gn(3) n0(3) n1(3) n2(3) pad."""
-    v0 = arrays["tri_v0"]
-    e1 = arrays["tri_e1"]
-    e2 = arrays["tri_e2"]
-    gn = arrays["tri_n"]
-    vn = arrays["vert_n"]
-    faces = arrays["faces"]
-    n0 = vn[faces[:, 0]]
-    n1 = vn[faces[:, 1]]
-    n2 = vn[faces[:, 2]]
-    F_ = v0.shape[0]
-    pad = jnp.zeros((F_, 3), jnp.float32)
-    return jnp.concatenate([v0, e1, e2, gn, n0, n1, n2, pad], axis=1)
-
-
 def mesh_candidates(ms: MeshStatic, tri_packed, o2, d2, t_min, t_max,
                     tile_rows: int, K: int = PACKET_K):
     """-> (cand_data (tiles, K, 24), counts (tiles,) i32).

@@ -106,50 +106,6 @@ def _scene_sdf(sdf_objs, lp, nparams, p):
     return v
 
 
-_CULL_MARGIN = 0.25
-
-
-def _scene_sdf_culled_fn(sdf_objs, lp, nparams):
-    """Tile-adaptive scene SDF: each expensive bounded object is evaluated
-    under a tile-level lax.cond — when every lane in the tile is at least
-    _CULL_MARGIN outside the object's bounding sphere, the bound-sphere
-    distance (a true lower bound > hit_eps, so no false hits) substitutes
-    for the full tape. Far tiles skip the Mandelbulb entirely, per step.
-    """
-    from surfjax.engines.sdf import leaf_sdf_fast
-    parts = []
-    any_cull = False
-    for _, oir in sdf_objs:
-        cheap = len(oir.nodes) <= 2
-        b = None if cheap else _object_bound(oir, lp, nparams)
-        parts.append((oir, b))
-        any_cull = any_cull or b is not None
-    if not any_cull:
-        return lambda p: _scene_sdf(sdf_objs, lp, nparams, p)
-
-    def scene(p):
-        v = None
-        for oir, b in parts:
-            if b is None:
-                h = eval_sdf(oir, lp, nparams, p, leaf_fn=leaf_sdf_fast)
-            else:
-                cx, cy, cz, R = b
-                dx = p[0] - cx
-                dy = p[1] - cy
-                dz = p[2] - cz
-                hb = jnp.sqrt((dx * dx + dy * dy) + dz * dz) - R
-                pred = jnp.min(hb) < F32(_CULL_MARGIN)
-                h = jax.lax.cond(
-                    pred,
-                    lambda oir=oir: eval_sdf(oir, lp, nparams, p,
-                                             leaf_fn=leaf_sdf_fast),
-                    lambda hb=hb: hb)
-            v = h if v is None else jnp.minimum(v, h)
-        return v
-
-    return scene
-
-
 # ---------------------------------------------------------------------------
 # Proxy (lower-bound) scene SDF for the two-phase march.
 #
@@ -481,28 +437,36 @@ def visibility_core(static, settings: RenderSettings, lp, nparams,
     """Shadow visibility for a batch of secondary rays (re-entry path).
 
     soft_k: per-ray penumbra sharpness (area lights: dist/radius); None
-    falls back to the global settings.soft_shadow_k."""
+    falls back to the global settings.soft_shadow_k.
+
+    Semantics match the jnp pipeline and the golden oracle: with soft
+    shadows ON, every non-mesh object (analytic included — their tapes are
+    exact SDFs) participates in the penumbra march; with soft shadows OFF,
+    analytic objects occlude exactly and SDF objects by march."""
     analytic, sdf_objs, _ = _split(static)
     vis = jnp.ones_like(o[0])
     eps = settings.shadow_eps
+    if settings.soft_shadows and (analytic or sdf_objs):
+        nonmesh = analytic + sdf_objs
+        sdf_fn = lambda p: _scene_sdf(nonmesh, lp, nparams, p)
+        proxy_fn = _proxy_sdf_fn(nonmesh, lp, nparams)
+        k = soft_k if soft_k is not None else settings.soft_shadow_k
+        vis = vis * _soft_march2(proxy_fn, sdf_fn, o, l,
+                                 settings.soft_shadow_tmin, dist,
+                                 k,
+                                 settings.shadow_steps)
+        return vis
     for _, oir in analytic:
         t_i, _ = intersect_analytic(oir, lp, o, l, eps, dist)
         vis = vis * jnp.where(t_i < dist, F32(0.0), F32(1.0))
     if sdf_objs:
         sdf_fn = lambda p: _scene_sdf(sdf_objs, lp, nparams, p)
         proxy_fn = _proxy_sdf_fn(sdf_objs, lp, nparams)
-        if settings.soft_shadows:
-            k = soft_k if soft_k is not None else settings.soft_shadow_k
-            vis = vis * _soft_march2(proxy_fn, sdf_fn, o, l,
-                                     settings.soft_shadow_tmin, dist,
-                                     k,
-                                     settings.shadow_steps)
-        else:
-            t_s, hit_s = _march2(proxy_fn, sdf_fn, o, l, eps, dist,
-                                 settings.max_steps, settings.hit_eps,
-                                 relax=settings.over_relax)
-            occ = (hit_s > F32(0.5)) & (t_s < dist)
-            vis = vis * jnp.where(occ, F32(0.0), F32(1.0))
+        t_s, hit_s = _march2(proxy_fn, sdf_fn, o, l, eps, dist,
+                             settings.max_steps, settings.hit_eps,
+                             relax=settings.over_relax)
+        occ = (hit_s > F32(0.5)) & (t_s < dist)
+        vis = vis * jnp.where(occ, F32(0.0), F32(1.0))
     return vis
 
 
@@ -510,10 +474,13 @@ def _soft_march2(proxy_fn, sdf_fn, o, d, t_start, t_max, k,
                  steps: int):
     """Two-phase penumbra march, exactly equivalent to the single-phase one.
 
-    Phase 1 marches the lower-bound proxy and hands off as soon as
-    k*h_proxy/t < 1.5 (or h_proxy < switch): since h_true >= h_proxy, every
-    skipped step had k*h_true/t >= 1.5 > 1 >= res and could not have lowered
-    the penumbra accumulator — so skipping it is lossless.
+    Phase 1 marches the lower-bound proxy with the same 0.5 step cap as
+    the penumbra march and hands off when k*h_proxy/t < 2.0 (or h_proxy <
+    switch). With steps capped at 0.5, any point inside a skipped step has
+    h_true >= h_proxy(sample) - 0.5, so the margin-2.0 handoff is
+    conservative at the same sampling density the single-phase march uses;
+    the skipped region cannot contain a sampled penumbra minimum the
+    single-phase version would have recorded at comparable resolution.
     """
     if proxy_fn is None:
         return _soft_march(sdf_fn, o, d, t_start, t_max, k, steps)
@@ -532,13 +499,11 @@ def _soft_march2(proxy_fn, sdf_fn, o, d, t_start, t_max, k,
         py = o[1] + t * d[1]
         pz = o[2] + t * d[2]
         h = proxy_fn((px, py, pz))
-        near = jnp.where((kf * h / t < F32(1.5)) | (h < sw),
+        near = jnp.where((kf * h / t < F32(2.0)) | (h < sw),
                          F32(1.0), F32(0.0))
         over = jnp.where(t > t_max, F32(1.0), F32(0.0))
         done_new = jnp.maximum(done, jnp.maximum(near, over))
-        # no 0.5 step cap here: sphere-trace samples densely near close
-        # approaches by construction, and the k*h/t switch is conservative
-        step = jnp.maximum(h, F32(1e-3))
+        step = jnp.minimum(jnp.maximum(h, F32(1e-3)), F32(0.5))
         t = jnp.where(done_new > F32(0.5), t, t + step)
         return i + 1, t, done_new
 
@@ -585,10 +550,13 @@ def _soft_march(sdf_fn, o, d, t_start, t_max, k, steps: int,
 
 
 def _ao_compute(static, settings, lp, nparams, sdf_objs, p, n):
-    """AO probes with an EXACT tile-level skip: if every lane is more than
-    2*ao_radius outside every SDF object's bounding sphere, every tap has
+    """AO probes over every non-mesh object (matching the jnp pipeline and
+    golden), with an EXACT tile-level skip: if every lane is more than
+    2*ao_radius outside every object's bounding sphere, every tap has
     h >= r, so occlusion is exactly zero -> ao = 1 without any evals.
-    (Skip disabled if any SDF object is unboundable.)"""
+    (Skip disabled if any object is unboundable, e.g. planes.)"""
+    analytic, sdf_only, _ = _split(static)
+    sdf_objs = analytic + sdf_only
     eps = F32(settings.shadow_eps)
     p_off = (p[0] + n[0] * eps, p[1] + n[1] * eps, p[2] + n[2] * eps)
     sdf_fn = lambda pp: _scene_sdf(sdf_objs, lp, nparams, pp)

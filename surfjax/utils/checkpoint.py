@@ -24,10 +24,14 @@ class SequenceCheckpointer:
         self.chunk_size = chunk_size
         self.manifest_path = os.path.join(out_dir, "manifest.json")
         os.makedirs(out_dir, exist_ok=True)
-        self.manifest = {"chunks": {}}
+        self.manifest = {"chunks": {}, "chunk_size": chunk_size}
         if os.path.exists(self.manifest_path):
             with open(self.manifest_path) as fh:
-                self.manifest = json.load(fh)
+                loaded = json.load(fh)
+            if loaded.get("chunk_size") == chunk_size:
+                self.manifest = loaded
+            # else: chunk size changed — start a fresh manifest so stale
+            # chunks with a different stride cannot corrupt the sequence
 
     def _save_manifest(self):
         with open(self.manifest_path, "w") as fh:

@@ -105,3 +105,22 @@ def test_ao_open_hemisphere_is_one():
     a = np.asarray(render(scene, cam, s_ao).rgb)
     b = np.asarray(render(scene, cam, s_no).rgb)
     np.testing.assert_array_equal(a, b)  # ao factor must be exactly 1
+
+
+def test_look_at_degenerate_up():
+    """Straight-down camera with default up must not crash (fallback up)."""
+    cam = Camera.pinhole(16, 16, 45.0, position=(0.0, 5.0, 0.0),
+                         target=(0.0, 0.0, 0.0))
+    R = np.asarray(cam.rotation)
+    np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-6)
+
+
+def test_mandelbulb_visible_from_far_away():
+    """Far-field DE clamp: the bulb must not vanish for distant cameras."""
+    from surfjax import Mandelbulb
+    scene = Scene()
+    scene.add(Mandelbulb(center=(0.0, 0.0, 12.0)), Material.lambert())
+    scene.add_light(PointLight(position=(3.0, 4.0, 0.0)))
+    cam = Camera.pinhole(48, 48, 12.0)
+    fb = render(scene, cam, RenderSettings(shadows=False, t_max=50.0))
+    assert float(np.asarray(fb.hit).mean()) > 0.1

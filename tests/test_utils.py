@@ -98,3 +98,27 @@ def test_obj_loader_roundtrip(tmp_path):
     assert v.shape == (4, 3)
     assert f.shape == (3, 3)  # 1 tri + quad fan (2 tris)
     assert f.max() == 3 and f.min() == 0
+
+
+def test_checkpoint_chunk_size_change_resets(tmp_path):
+    def render_chunk(start, count):
+        return np.full((count, 2, 2, 3), float(start), np.float32)
+
+    cp = SequenceCheckpointer(str(tmp_path), chunk_size=4)
+    cp.render_all(8, render_chunk)
+    # resume with a different chunk size: stale chunks must not be reused
+    cp2 = SequenceCheckpointer(str(tmp_path), chunk_size=8)
+    cp2.render_all(8, render_chunk)
+    out = cp2.load_all()
+    assert out.shape == (8, 2, 2, 3)
+    np.testing.assert_array_equal(out[:, 0, 0, 0],
+                                  [0, 0, 0, 0, 0, 0, 0, 0])
+
+
+def test_scene_freeze_memoized():
+    from surfjax import Material, Scene, Sphere
+    s = Scene().add(Sphere((0, 0, 3), 1.0), Material.lambert())
+    a = s.freeze()
+    assert s.freeze() is a
+    s.add(Sphere((1, 0, 3), 0.5), Material.lambert())
+    assert s.freeze() is not a
