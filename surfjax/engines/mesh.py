@@ -78,26 +78,33 @@ def build_grid(mesh, grid_res=None) -> MeshTables:
     nx, ny, nz = (int(v) for v in grid_res)
     cell = extent / np.asarray([nx, ny, nz], np.float32)
 
-    # bin: conservative AABB overlap per triangle
-    cells: list = [[] for _ in range(nx * ny * nz)]
-    tmin = np.minimum(np.minimum(v0, v1), v2)
-    tmax = np.maximum(np.maximum(v0, v1), v2)
-    lo = np.clip(((tmin - bb_min) / cell).astype(np.int64), 0,
-                 [nx - 1, ny - 1, nz - 1])
-    hi = np.clip(((tmax - bb_min) / cell).astype(np.int64), 0,
-                 [nx - 1, ny - 1, nz - 1])
-    for f in range(F):
-        for ix in range(lo[f, 0], hi[f, 0] + 1):
-            for iy in range(lo[f, 1], hi[f, 1] + 1):
-                for iz in range(lo[f, 2], hi[f, 2] + 1):
-                    cells[(ix * ny + iy) * nz + iz].append(f)
-
-    counts = np.asarray([len(c) for c in cells], np.int32)
-    cell_start = np.zeros(len(cells) + 1, np.int32)
-    np.cumsum(counts, out=cell_start[1:])
-    cell_tris = (np.concatenate([np.asarray(c, np.int32) for c in cells
-                                 if c]) if counts.sum() else
-                 np.zeros(1, np.int32))
+    # bin: conservative AABB overlap per triangle. The native C++ builder
+    # (surfjax/native) does this at memory speed; the Python loop below is
+    # the fallback (identical CSR: same f-ascending order per cell).
+    from surfjax.native import grid_bin
+    csr = grid_bin(verts, faces, bb_min, cell, nx, ny, nz)
+    if csr is not None:
+        cell_start, cell_tris = csr
+        counts = np.diff(cell_start).astype(np.int32)
+    else:
+        cells: list = [[] for _ in range(nx * ny * nz)]
+        tmin = np.minimum(np.minimum(v0, v1), v2)
+        tmax = np.maximum(np.maximum(v0, v1), v2)
+        lo = np.clip(((tmin - bb_min) / cell).astype(np.int64), 0,
+                     [nx - 1, ny - 1, nz - 1])
+        hi = np.clip(((tmax - bb_min) / cell).astype(np.int64), 0,
+                     [nx - 1, ny - 1, nz - 1])
+        for f in range(F):
+            for ix in range(lo[f, 0], hi[f, 0] + 1):
+                for iy in range(lo[f, 1], hi[f, 1] + 1):
+                    for iz in range(lo[f, 2], hi[f, 2] + 1):
+                        cells[(ix * ny + iy) * nz + iz].append(f)
+        counts = np.asarray([len(c) for c in cells], np.int32)
+        cell_start = np.zeros(len(cells) + 1, np.int32)
+        np.cumsum(counts, out=cell_start[1:])
+        cell_tris = (np.concatenate([np.asarray(c, np.int32) for c in cells
+                                     if c]) if counts.sum() else
+                     np.zeros(1, np.int32))
     # every cell's full list must be testable — truncation makes holes
     k_max = int(max(counts.max(), 1))
 

@@ -125,9 +125,14 @@ def sdf_mandelbulb(prm, p, power: int, iterations: int):
     # march overshoot INTO the set. The set lies in a ball of radius 1.25
     # (scaled), so dist >= |p| - 1.25 is a true lower bound; stepping by
     # it is always safe and the clamp only binds far away.
+    # Floor the clamp at 0.1 so it can never satisfy the hit test and
+    # create a phantom surface at the bound: stepping (r0-1.35)+0.1 from
+    # radius r0 lands at radius >= 1.25 > the set's max radius ~1.2, so
+    # the step is still safe.
     r0 = jnp.sqrt((px * px + py * py) + pz * pz)
-    far = r0 - F32(1.25)
-    de = jnp.where(far > F32(0.0), jnp.minimum(de, far), de)
+    far = r0 - F32(1.35)
+    de = jnp.where(far > F32(0.0),
+                   jnp.minimum(de, far + F32(0.1)), de)
     return de * scale
 
 
@@ -199,8 +204,9 @@ def sdf_mandelbulb_while(prm, p, power: int, iterations: int):
     de = F32(0.25) * jnp.log(m) * r / dz
     # far-field guard -- see sdf_mandelbulb
     r0 = jnp.sqrt(m0)
-    far = r0 - F32(1.25)
-    de = jnp.where(far > F32(0.0), jnp.minimum(de, far), de)
+    far = r0 - F32(1.35)
+    de = jnp.where(far > F32(0.0),
+                   jnp.minimum(de, far + F32(0.1)), de)
     return de * scale
 
 

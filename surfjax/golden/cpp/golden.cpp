@@ -392,8 +392,8 @@ float leaf_sdf(const Scene &S, const ObjView &O, int li, const Vec &p) {
   float de = 0.25f * std::log(mm) * r / dz;
   // far-field guard -- see engines/sdf.sdf_mandelbulb
   float r0 = std::sqrt((px * px + py * py) + pz * pz);
-  float far_ = r0 - 1.25f;
-  if (far_ > 0.0f && far_ < de) de = far_;
+  float far_ = r0 - 1.35f;
+  if (far_ > 0.0f && far_ + 0.1f < de) de = far_ + 0.1f;
   return de * scale;
 }
 

@@ -351,8 +351,8 @@ def _sdf_mandelbulb(n: api.Mandelbulb, p):
     de = F(0.25) * np.log(m) * r / dz
     # far-field guard -- see engines/sdf.sdf_mandelbulb
     r0 = np.sqrt((px * px + py * py) + pz * pz)
-    far = r0 - F(1.25)
-    de = np.where(far > F(0.0), np.minimum(de, far), de)
+    far = r0 - F(1.35)
+    de = np.where(far > F(0.0), np.minimum(de, far + F(0.1)), de)
     return de * scale
 
 

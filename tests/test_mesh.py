@@ -85,3 +85,45 @@ def test_config4_pallas_packet_matches_golden():
     d = np.abs(np.asarray(fb.rgb).astype(np.float64)
                - gold["rgb"].astype(np.float64))
     assert d.max() < 1e-3, f"packet-kernel rgb deviates {d.max()}"
+
+
+def test_native_grid_builder_matches_python():
+    """The C++ CSR binning must equal the Python fallback exactly."""
+    from surfjax.native import grid_bin
+    v, f = octasphere(3)
+    v = v * 0.8
+    v[:, 2] += 3.0
+    mesh = TriangleMesh(vertices=v, faces=f)
+    tables = build_grid(mesh)  # uses native when available
+    ms = tables.static
+
+    # recompute with the pure-Python fallback
+    import numpy as _np
+    bb_min = _np.asarray(ms.bbox_min, _np.float32)
+    cell = _np.asarray(ms.cell_size, _np.float32)
+    nx, ny, nz = ms.nx, ms.ny, ms.nz
+    cells = [[] for _ in range(nx * ny * nz)]
+    v0 = v[f[:, 0]]
+    v1 = v[f[:, 1]]
+    v2 = v[f[:, 2]]
+    tmin = _np.minimum(_np.minimum(v0, v1), v2)
+    tmax = _np.maximum(_np.maximum(v0, v1), v2)
+    lo = _np.clip(((tmin - bb_min) / cell).astype(_np.int64), 0,
+                  [nx - 1, ny - 1, nz - 1])
+    hi = _np.clip(((tmax - bb_min) / cell).astype(_np.int64), 0,
+                  [nx - 1, ny - 1, nz - 1])
+    for fi in range(f.shape[0]):
+        for ix in range(lo[fi, 0], hi[fi, 0] + 1):
+            for iy in range(lo[fi, 1], hi[fi, 1] + 1):
+                for iz in range(lo[fi, 2], hi[fi, 2] + 1):
+                    cells[(ix * ny + iy) * nz + iz].append(fi)
+    counts = _np.asarray([len(c) for c in cells], _np.int32)
+    start = _np.zeros(len(cells) + 1, _np.int32)
+    _np.cumsum(counts, out=start[1:])
+    tris = _np.concatenate([_np.asarray(c, _np.int32)
+                            for c in cells if c])
+
+    got = grid_bin(v, f, bb_min, cell, nx, ny, nz)
+    assert got is not None, "native builder failed to load"
+    _np.testing.assert_array_equal(got[0], start)
+    _np.testing.assert_array_equal(got[1][:tris.shape[0]], tris)
