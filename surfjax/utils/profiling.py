@@ -18,6 +18,17 @@ def trace_render(profile_dir: str | None):
     if not profile_dir:
         yield
         return
+    # the axon TPU relay has no profiler service — jax.profiler.trace hangs
+    try:
+        platform = jax.devices()[0].platform
+    except Exception:  # noqa: BLE001 — no devices: nothing to profile
+        platform = "unknown"
+    if platform == "axon":
+        import warnings
+        warnings.warn("profiling skipped: the axon TPU relay does not "
+                      "support the jax profiler service", RuntimeWarning)
+        yield
+        return
     with jax.profiler.trace(profile_dir):
         yield
 
