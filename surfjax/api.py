@@ -206,6 +206,20 @@ class Scene:
         self._frozen = None
         return self
 
+    # CSG combinators as methods (SURVEY.md §3.4 API sketch); equivalent to
+    # the free functions — whichever spelling the reference uses is covered
+    @staticmethod
+    def csg_union(a: SceneNode, b: SceneNode, *rest: SceneNode) -> "CSG":
+        return union(a, b, *rest)
+
+    @staticmethod
+    def csg_intersect(a: SceneNode, b: SceneNode) -> "CSG":
+        return intersect(a, b)
+
+    @staticmethod
+    def csg_subtract(a: SceneNode, b: SceneNode) -> "CSG":
+        return subtract(a, b)
+
     def freeze(self):
         """Compile to (SceneIR static, SceneParams dynamic).
 
