@@ -358,39 +358,34 @@ def trace_core(static, settings: RenderSettings, lp, nparams, o, d,
         obj = jnp.where(better, F32(float(i)), obj)
         leaf = jnp.where(better, leaf_i.astype(jnp.float32), leaf)
 
+    t = t_a
     if sdf_objs:
-        sdf_fn = lambda p: _scene_sdf(sdf_objs, lp, nparams, p)
-        proxy_fn = _proxy_sdf_fn(sdf_objs, lp, nparams)
+        # Per-object marches with PROGRESSIVE clipping: cheap objects march
+        # first; each subsequent object's march is clipped by the nearest
+        # hit so far (tiles occluded by a cheaper object never pay the
+        # expensive tape), every march evaluates only its own object's
+        # tape, and attribution is exact — no scene-min argmin.
+        from surfjax.engines.sdf import leaf_sdf_fast
+        order = sorted(sdf_objs, key=lambda io: len(io[1].nodes))
         t_clip = jnp.minimum(t_a, F32(t_max))
+        for i, oir in order:
+            sdf_i = (lambda oir=oir: lambda p: eval_sdf(
+                oir, lp, nparams, p, leaf_fn=leaf_sdf_fast))()
+            proxy_i = _proxy_sdf_fn([(i, oir)], lp, nparams)
 
-        def run_march(o_s, d_s, clip_s):
-            return _march2(proxy_fn, sdf_fn, o_s, d_s, t_min, clip_s,
-                           settings.max_steps, settings.hit_eps,
-                           relax=settings.over_relax,
-                           eps_scale=settings.hit_eps_scale)
+            def run_march(o_s, d_s, clip_s, sdf_i=sdf_i, proxy_i=proxy_i):
+                return _march2(proxy_i, sdf_i, o_s, d_s, t_min, clip_s,
+                               settings.max_steps, settings.hit_eps,
+                               relax=settings.over_relax,
+                               eps_scale=settings.hit_eps_scale)
 
-        t_s, hit_s = _by_subtile(run_march, 2, settings.subtile_rows,
-                                 o, d, t_clip)
-        sdf_wins = (hit_s > F32(0.5)) & (t_s < t_a)
-        # which SDF object won: argmin of per-object SDF at the hit point
-        if len(sdf_objs) == 1:
-            sdf_obj_id = F32(float(sdf_objs[0][0]))
-        else:
-            px = o[0] + t_s * d[0]
-            py = o[1] + t_s * d[1]
-            pz = o[2] + t_s * d[2]
-            best_v = eval_sdf(sdf_objs[0][1], lp, nparams, (px, py, pz))
-            sdf_obj_id = jnp.full_like(best_v, float(sdf_objs[0][0]))
-            for i, oir in sdf_objs[1:]:
-                v = eval_sdf(oir, lp, nparams, (px, py, pz))
-                closer = v < best_v
-                best_v = jnp.where(closer, v, best_v)
-                sdf_obj_id = jnp.where(closer, F32(float(i)), sdf_obj_id)
-        t = jnp.where(sdf_wins, t_s, t_a)
-        obj = jnp.where(sdf_wins, sdf_obj_id, obj)
-        leaf = jnp.where(sdf_wins, F32(0.0), leaf)
-    else:
-        t = t_a
+            t_i, hit_i = _by_subtile(run_march, 2, settings.subtile_rows,
+                                     o, d, t_clip)
+            better = (hit_i > F32(0.5)) & (t_i < t)
+            t = jnp.where(better, t_i, t)
+            obj = jnp.where(better, F32(float(i)), obj)
+            leaf = jnp.where(better, F32(0.0), leaf)
+            t_clip = jnp.minimum(t_clip, t)
 
     hit_f = jnp.where(t < BIG * F32(0.5), F32(1.0), F32(0.0))
     return t, obj, leaf, hit_f

@@ -14,9 +14,9 @@ wavefronts; the TPU-idiomatic equivalent implemented here:
         instead of the tile-max sum.
   K1c  winner attribution + normals + AO on the scattered-back results.
 
-Per-lane arithmetic (over-relaxation state, cone epsilon, step sequence) is
-identical to kernels/render_tile._march, so results match the single-kernel
-path bit-for-bit per lane.
+The rounds march the SCENE-MIN SDF (one combined march); the tile mode now
+marches per object with progressive clipping, so the two modes agree to
+hit-mask/epsilon rather than bit-for-bit.
 """
 
 from __future__ import annotations
