@@ -29,7 +29,7 @@ DEFAULT_CONFIG = "configs/c3_sdf.yaml"
 TARGET_MRAYS = 500.0  # BASELINE.json:5 target on v5e
 
 
-def run_bench(config: str | None = None, repeats: int = 7,
+def run_bench(config: str | None = None, repeats: int = 11,
               width: int = 1920, height: int = 1080) -> dict:
     import jax
     import jax.numpy as jnp

@@ -438,30 +438,44 @@ def visibility_core(static, settings: RenderSettings, lp, nparams,
     shadows ON, every non-mesh object (analytic included — their tapes are
     exact SDFs) participates in the penumbra march; with soft shadows OFF,
     analytic objects occlude exactly and SDF objects by march."""
+    from surfjax.engines.sdf import leaf_sdf_fast
     analytic, sdf_objs, _ = _split(static)
     vis = jnp.ones_like(o[0])
     eps = settings.shadow_eps
     if settings.soft_shadows and (analytic or sdf_objs):
-        nonmesh = analytic + sdf_objs
-        sdf_fn = lambda p: _scene_sdf(nonmesh, lp, nparams, p)
-        proxy_fn = _proxy_sdf_fn(nonmesh, lp, nparams)
+        # per-object penumbra marches: factors combine by MIN exactly
+        # (saturate(min_t k*min_i d_i/t) == min_i saturate(min_t k*d_i/t));
+        # cheap objects first, and lanes already fully dark skip the rest
+        nonmesh = sorted(analytic + sdf_objs,
+                         key=lambda io: len(io[1].nodes))
         k = soft_k if soft_k is not None else settings.soft_shadow_k
-        vis = vis * _soft_march2(proxy_fn, sdf_fn, o, l,
-                                 settings.soft_shadow_tmin, dist,
-                                 k,
-                                 settings.shadow_steps)
-        return vis
+        soft_vis = jnp.ones_like(o[0])
+        for i, oir in nonmesh:
+            sdf_i = (lambda oir=oir: lambda p: eval_sdf(
+                oir, lp, nparams, p, leaf_fn=leaf_sdf_fast))()
+            proxy_i = _proxy_sdf_fn([(i, oir)], lp, nparams)
+            dist_i = jnp.where(soft_vis <= F32(0.0), F32(0.0), dist)
+            v_i = _soft_march2(proxy_i, sdf_i, o, l,
+                               settings.soft_shadow_tmin, dist_i, k,
+                               settings.shadow_steps)
+            soft_vis = jnp.minimum(soft_vis, v_i)
+        return vis * soft_vis
     for _, oir in analytic:
         t_i, _ = intersect_analytic(oir, lp, o, l, eps, dist)
         vis = vis * jnp.where(t_i < dist, F32(0.0), F32(1.0))
     if sdf_objs:
-        sdf_fn = lambda p: _scene_sdf(sdf_objs, lp, nparams, p)
-        proxy_fn = _proxy_sdf_fn(sdf_objs, lp, nparams)
-        t_s, hit_s = _march2(proxy_fn, sdf_fn, o, l, eps, dist,
-                             settings.max_steps, settings.hit_eps,
-                             relax=settings.over_relax)
-        occ = (hit_s > F32(0.5)) & (t_s < dist)
-        vis = vis * jnp.where(occ, F32(0.0), F32(1.0))
+        # per-object any-hit marches; occluded lanes skip later objects
+        order = sorted(sdf_objs, key=lambda io: len(io[1].nodes))
+        for i, oir in order:
+            sdf_i = (lambda oir=oir: lambda p: eval_sdf(
+                oir, lp, nparams, p, leaf_fn=leaf_sdf_fast))()
+            proxy_i = _proxy_sdf_fn([(i, oir)], lp, nparams)
+            dist_i = jnp.where(vis <= F32(0.0), F32(0.0), dist)
+            t_s, hit_s = _march2(proxy_i, sdf_i, o, l, eps, dist_i,
+                                 settings.max_steps, settings.hit_eps,
+                                 relax=settings.over_relax)
+            occ = (hit_s > F32(0.5)) & (t_s < dist_i)
+            vis = vis * jnp.where(occ, F32(0.0), F32(1.0))
     return vis
 
 
