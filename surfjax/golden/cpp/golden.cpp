@@ -471,7 +471,8 @@ float soft_shadow(const Scene &S, const Vec &o, const Vec &d, float t_max) {
     Vec p{o.x + t * d.x, o.y + t * d.y, o.z + t * d.z};
     float h = scene_sdf_nonmesh(S, p);
     float res_new = std::fmin(res, S.soft_k * h / t);
-    float step = clampf(h, 1e-3f, 0.5f);
+    float s_allowed = (S.soft_k * h - t) / (S.soft_k + 1.0f);
+    float step = clampf(h, 1e-3f, std::fmax(0.5f, s_allowed));
     float t_new = t + step;
     res = res_new;
     t = t_new;

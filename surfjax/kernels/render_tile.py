@@ -512,7 +512,9 @@ def _soft_march2(proxy_fn, sdf_fn, o, d, t_start, t_max, k,
                          F32(1.0), F32(0.0))
         over = jnp.where(t > t_max, F32(1.0), F32(0.0))
         done_new = jnp.maximum(done, jnp.maximum(near, over))
-        step = jnp.minimum(jnp.maximum(h, F32(1e-3)), F32(0.5))
+        s_allowed = (kf * h - t) / (kf + F32(1.0))
+        cap = jnp.maximum(F32(0.5), s_allowed)
+        step = jnp.minimum(jnp.maximum(h, F32(1e-3)), cap)
         t = jnp.where(done_new > F32(0.5), t, t + step)
         return i + 1, t, done_new
 
@@ -538,7 +540,12 @@ def _soft_march(sdf_fn, o, d, t_start, t_max, k, steps: int,
         pz = o[2] + t * d[2]
         h = sdf_fn((px, py, pz))
         res_new = jnp.minimum(res, kf * h / t)
-        step = jnp.minimum(jnp.maximum(h, F32(1e-3)), F32(0.5))
+        # adaptive step: within a stretch where k*d/t' provably stays >= 1
+        # (d >= h - s, t' <= t + s  =>  s <= (k*h - t)/(k+1)), samples can
+        # never lower the accumulator, so the 0.5 cap may be exceeded there
+        s_allowed = (kf * h - t) / (kf + F32(1.0))
+        cap = jnp.maximum(F32(0.5), s_allowed)
+        step = jnp.minimum(jnp.maximum(h, F32(1e-3)), cap)
         t_new = t + step
         done_new = jnp.maximum(
             done,
