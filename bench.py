@@ -72,7 +72,8 @@ def run_bench(config: str | None = None, repeats: int = 11,
         t0 = time.perf_counter()
         float(triv(x))
         rts.append(time.perf_counter() - t0)
-    roundtrip = float(np.median(rts))
+    # relay stalls are additive noise: min is the cleanest estimator
+    roundtrip = float(np.min(rts))
 
     # warm-up / compile; vary camera position per rep to defeat any caching
     _, _, hits = step(params, R_flat, jnp.asarray(pos0))
@@ -85,7 +86,7 @@ def run_bench(config: str | None = None, repeats: int = 11,
         r = step(params, R_flat, pos)
         float(r[0])
         times.append(time.perf_counter() - t0)
-    dt = max(float(np.median(times)) - roundtrip, 1e-9)
+    dt = max(float(np.min(times)) - roundtrip, 1e-9)
 
     n_lights = len(scene.lights)
     primary = float(width * height)

@@ -415,11 +415,11 @@ def soft_shadow_march(sdf_fn, o, d, t_min, t_max, k, steps: int):
         pz = o[2] + t * d[2]
         h = sdf_fn((px, py, pz))
         res_new = jnp.minimum(res, kf * h / t)
-        # adaptive step (see kernels/_soft_march): exact no-op skipping
-        s_allowed = (kf * h - t) / (kf + F32(1.0))
+        # res-aware adaptive step (see kernels/_soft_march)
+        s_allowed = (kf * h - res_new * t) / (kf + res_new)
         step = clamp(h, F32(1e-3), jnp.maximum(F32(0.5), s_allowed))
         t_new = t + step
-        done_new = done | (res_new < F32(0.0)) | (t_new > t_max)
+        done_new = done | (res_new < F32(0.004)) | (t_new > t_max)
         res = jnp.where(done, res, res_new)
         t = jnp.where(done, t, t_new)
         return i + 1, t, res, done_new

@@ -471,12 +471,12 @@ float soft_shadow(const Scene &S, const Vec &o, const Vec &d, float t_max) {
     Vec p{o.x + t * d.x, o.y + t * d.y, o.z + t * d.z};
     float h = scene_sdf_nonmesh(S, p);
     float res_new = std::fmin(res, S.soft_k * h / t);
-    float s_allowed = (S.soft_k * h - t) / (S.soft_k + 1.0f);
+    float s_allowed = (S.soft_k * h - res_new * t) / (S.soft_k + res_new);
     float step = clampf(h, 1e-3f, std::fmax(0.5f, s_allowed));
     float t_new = t + step;
     res = res_new;
     t = t_new;
-    if (res_new < 0.0f || t_new > t_max) break;
+    if (res_new < 0.004f || t_new > t_max) break;
   }
   return saturate(res);
 }

@@ -752,10 +752,10 @@ def _soft_shadow(sdf_fn, o, d, t_min, t_max, k, steps):
         pz = o[2] + t * d[2]
         h = sdf_fn((px, py, pz))
         res_new = np.minimum(res, kf * h / t)
-        s_allowed = (kf * h - t) / (kf + F(1.0))
+        s_allowed = (kf * h - res_new * t) / (kf + res_new)
         step = _clamp(h, F(1e-3), np.maximum(F(0.5), s_allowed))
         t_new = t + step
-        done_new = done | (res_new < F(0.0)) | (t_new > t_max)
+        done_new = done | (res_new < F(0.004)) | (t_new > t_max)
         res = np.where(done, res, res_new)
         t = np.where(done, t, t_new)
         done = done_new

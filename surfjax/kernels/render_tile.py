@@ -540,16 +540,19 @@ def _soft_march(sdf_fn, o, d, t_start, t_max, k, steps: int,
         pz = o[2] + t * d[2]
         h = sdf_fn((px, py, pz))
         res_new = jnp.minimum(res, kf * h / t)
-        # adaptive step: within a stretch where k*d/t' provably stays >= 1
-        # (d >= h - s, t' <= t + s  =>  s <= (k*h - t)/(k+1)), samples can
-        # never lower the accumulator, so the 0.5 cap may be exceeded there
-        s_allowed = (kf * h - t) / (kf + F32(1.0))
+        # res-aware adaptive step: within a stretch where k*d/t' provably
+        # stays >= res (d >= h - s, t' <= t + s => s <= (k*h - res*t)/
+        # (k + res)), no sample can lower the running minimum — skipping is
+        # exact, and the allowed step grows as the penumbra darkens
+        s_allowed = (kf * h - res_new * t) / (kf + res_new)
         cap = jnp.maximum(F32(0.5), s_allowed)
         step = jnp.minimum(jnp.maximum(h, F32(1e-3)), cap)
         t_new = t + step
+        # penumbra floor: below 1/255 the factor is visually zero
         done_new = jnp.maximum(
             done,
-            jnp.maximum(jnp.where(res_new < F32(0.0), F32(1.0), F32(0.0)),
+            jnp.maximum(jnp.where(res_new < F32(0.004), F32(1.0),
+                                  F32(0.0)),
                         jnp.where(t_new > t_max, F32(1.0), F32(0.0))))
         res = jnp.where(done > F32(0.5), res, res_new)
         t = jnp.where(done > F32(0.5), t, t_new)
