@@ -127,3 +127,29 @@ def test_native_grid_builder_matches_python():
     assert got is not None, "native builder failed to load"
     _np.testing.assert_array_equal(got[0], start)
     _np.testing.assert_array_equal(got[1][:tris.shape[0]], tris)
+
+
+def test_two_meshes_pallas_and_golden():
+    """Two meshes with different face counts: golden (fixed this round),
+    jnp, and the pallas packet kernel must all agree."""
+    v1, f1 = octasphere(2)
+    v1 = v1 * 0.6
+    v1 = v1 + np.asarray([-0.8, 0.0, 3.0], np.float32)
+    v2 = np.asarray([[0.5, -0.5, 2.5], [1.5, -0.5, 2.5], [1.0, 0.8, 3.0]],
+                    np.float32)
+    f2 = np.asarray([[0, 1, 2]], np.int32)
+    scene = Scene()
+    scene.add(TriangleMesh(vertices=v1, faces=f1),
+              Material.lambert(albedo=(0.8, 0.4, 0.3)))
+    scene.add(TriangleMesh(vertices=v2, faces=f2),
+              Material.lambert(albedo=(0.3, 0.4, 0.8)))
+    from surfjax import PointLight, Camera, RenderSettings
+    scene.add_light(PointLight(position=(3.0, 4.0, -1.0)))
+    cam = Camera.pinhole(96, 96, 45.0)
+    st = RenderSettings(shadows=True)
+    gold = golden.render(scene, cam, st)
+    for bk in ("jnp", "pallas"):
+        fb = render(scene, cam, st.with_(backend=bk, tile_rows=8))
+        assert (np.asarray(fb.hit) == gold["hit"]).mean() > 0.999, bk
+        d = np.abs(np.asarray(fb.rgb) - gold["rgb"])
+        assert d.max() < 1e-3, (bk, d.max())

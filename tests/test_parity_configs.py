@@ -76,3 +76,17 @@ def test_config3_full_tolerance_parity():
     # chaotic DE silhouette pixels may flip; the bulk must be tight
     assert np.quantile(d, 0.995) < 1e-3
     assert d.mean() < 1e-4
+
+
+def test_config5_scene_strict_parity_eager():
+    """The animated/differentiable config's scene (blob + analytic floor,
+    hard shadows) — strict <=1 ULP in op-by-op mode."""
+    from tests.scenes import config5_anim_scene
+    scene, cam, settings = config5_anim_scene(size=96)
+    settings = settings.with_(max_steps=128)
+    with jax.disable_jit():
+        fb = render(scene, cam, settings)
+    gold = golden.render(scene, cam, settings)
+    np.testing.assert_array_equal(np.asarray(fb.hit), gold["hit"])
+    m = max_ulp(np.asarray(fb.rgb), gold["rgb"])
+    assert m <= 1, f"config5 shading differs by {m} ULP"
