@@ -39,6 +39,11 @@ from surfjax.engines.mesh import MeshStatic, _mesh_arrays
 from surfjax.kernels.render_tile import LANES, _interpret
 
 PACKET_K = 1024  # candidate budget per tile; overflow -> full-table scan
+# Above this triangle count the full packed table (96 B/tri) no longer
+# fits comfortably in VMEM alongside the ray/candidate blocks, so the
+# overflow fallback would blow the ~16 MB budget; callers must route
+# such meshes through the grid-DDA path (engines/mesh.intersect_mesh).
+MAX_PACKET_TRIS = 40_000
 
 
 def mesh_candidates(ms: MeshStatic, tri_packed, o2, d2, t_min, t_max,

@@ -825,14 +825,40 @@ def _render_padded(static, settings: RenderSettings, params, o2, d2
     # mesh objects: packet kernel per mesh; merge nearest
     n_geom = n
     if mesh:
-        from surfjax.kernels.mesh_tile import mesh_tile_kernel
+        from surfjax.kernels.mesh_tile import MAX_PACKET_TRIS, \
+            mesh_tile_kernel
         for i, oir in mesh:
             ms = static.mesh_static[oir.mesh]
-            tri_packed = jnp.asarray(
-                _mesh_params(params, oir.mesh)["tri_packed"])
-            t_m, n_s, n_g = mesh_tile_kernel(
-                ms, settings, tri_packed, (ox, oy, oz), (dx, dy, dz),
-                settings.t_max)
+            if ms.n_tris > MAX_PACKET_TRIS:
+                # the packet kernel's overflow fallback scans a VMEM-
+                # resident full table; huge meshes exceed VMEM, so use
+                # the (slow on TPU, correct) grid-DDA path for this mesh
+                import warnings
+                warnings.warn(
+                    f"mesh with {ms.n_tris} tris exceeds the packet "
+                    f"kernel budget ({MAX_PACKET_TRIS}); using grid-DDA",
+                    RuntimeWarning)
+                from surfjax.engines.mesh import intersect_mesh, mesh_normal
+                o_flat = tuple(c.reshape(-1) for c in (ox, oy, oz))
+                d_flat = tuple(c.reshape(-1) for c in (dx, dy, dz))
+                t_f, tri_f = intersect_mesh(ms, oir.mesh, params, o_flat,
+                                            d_flat, settings.t_min,
+                                            settings.t_max)
+                t_hitf = jnp.where(t_f < BIG * F32(0.5), t_f, F32(0.0))
+                p_f = tuple(o_flat[k] + t_hitf * d_flat[k]
+                            for k in range(3))
+                n_f = mesh_normal(ms, oir.mesh, params, p_f, tri_f)
+                shp = ox.shape
+                t_m = t_f.reshape(shp)
+                n_s = tuple(c.reshape(shp) for c in n_f)
+                gn = _mesh_params(params, oir.mesh)["tri_n"][tri_f]
+                n_g = tuple(gn[:, k].reshape(shp) for k in range(3))
+            else:
+                tri_packed = jnp.asarray(
+                    _mesh_params(params, oir.mesh)["tri_packed"])
+                t_m, n_s, n_g = mesh_tile_kernel(
+                    ms, settings, tri_packed, (ox, oy, oz), (dx, dy, dz),
+                    settings.t_max)
             better = t_m < jnp.where(hit_f > F32(0.5), t, BIG)
             t = jnp.where(better, t_m, t)
             obj = jnp.where(better, F32(float(i)), obj)
@@ -889,14 +915,26 @@ def _render_padded(static, settings: RenderSettings, params, o2, d2
             vis = trace_rays_kernel(static, settings, lp, nparams,
                                     p_off, l, dist_eff, soft_k)
             if mesh:
-                from surfjax.kernels.mesh_tile import mesh_tile_kernel
+                from surfjax.kernels.mesh_tile import MAX_PACKET_TRIS, \
+                    mesh_tile_kernel
                 for _, oir in mesh:
                     ms = static.mesh_static[oir.mesh]
-                    tri_packed = jnp.asarray(
-                        _mesh_params(params, oir.mesh)["tri_packed"])
-                    t_m, _, _ = mesh_tile_kernel(
-                        ms, settings, tri_packed, p_off, l, dist_eff,
-                        any_hit=True)
+                    if ms.n_tris > MAX_PACKET_TRIS:
+                        # same VMEM guard as the primary-ray merge above
+                        from surfjax.engines.mesh import intersect_mesh
+                        shp = p_off[0].shape
+                        t_f, _ = intersect_mesh(
+                            ms, oir.mesh, params,
+                            tuple(c.reshape(-1) for c in p_off),
+                            tuple(c.reshape(-1) for c in l),
+                            settings.shadow_eps, dist_eff.reshape(-1))
+                        t_m = t_f.reshape(shp)
+                    else:
+                        tri_packed = jnp.asarray(
+                            _mesh_params(params, oir.mesh)["tri_packed"])
+                        t_m, _, _ = mesh_tile_kernel(
+                            ms, settings, tri_packed, p_off, l, dist_eff,
+                            any_hit=True)
                     vis = vis * jnp.where(t_m < dist_eff,
                                           F32(0.0), F32(1.0))
         else:

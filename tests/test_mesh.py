@@ -153,3 +153,25 @@ def test_two_meshes_pallas_and_golden():
         assert (np.asarray(fb.hit) == gold["hit"]).mean() > 0.999, bk
         d = np.abs(np.asarray(fb.rgb) - gold["rgb"])
         assert d.max() < 1e-3, (bk, d.max())
+
+def test_huge_mesh_vmem_guard_falls_back_to_dda(monkeypatch):
+    """Meshes above MAX_PACKET_TRIS must route through the grid-DDA path
+    in the pallas backend (the packet kernel's full-table overflow
+    fallback would not fit VMEM). Exercised by lowering the threshold."""
+    import warnings
+
+    from surfjax.kernels import mesh_tile
+
+    scene, cam, settings = config4_mesh(width=96, height=96)
+    gold = golden.render(scene, cam, settings)
+    monkeypatch.setattr(mesh_tile, "MAX_PACKET_TRIS", 4)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        fb = render(scene, cam,
+                    settings.with_(backend="pallas", tile_rows=8))
+    assert any("grid-DDA" in str(x.message) for x in w), \
+        "fallback warning not raised"
+    assert (np.asarray(fb.hit) == gold["hit"]).mean() > 0.999
+    d = np.abs(np.asarray(fb.rgb).astype(np.float64)
+               - gold["rgb"].astype(np.float64))
+    assert d.max() < 1e-3, f"DDA-fallback rgb deviates {d.max()}"
