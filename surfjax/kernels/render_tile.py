@@ -212,7 +212,7 @@ def _march(sdf_fn, o, d, t_start, t_clip, max_steps: int, hit_eps: float,
     """
     eps = F32(hit_eps)
     w = F32(relax)
-    t0 = jnp.full_like(o[0], t_start) if t_init is None else t_init
+    t0 = (t_start * jnp.ones_like(o[0])) if t_init is None else t_init
     done0 = jnp.where(t0 >= t_clip, F32(1.0), F32(0.0))
     hit0 = jnp.zeros_like(o[0])
     z0 = jnp.zeros_like(o[0])
@@ -267,19 +267,20 @@ _PROXY_SWITCH = 0.08  # hand off to the full SDF within this proxy distance
 MARCH_UNROLL = 1      # full-SDF march substeps per while trip (eval-bound)
 
 
-def _by_subtile(march, n_out, rows_per: int, o, d, clip):
+def _by_subtile(march, n_out, rows_per: int, o, d, *arrs):
     """Run a march over independent (rows_per, 128) sub-blocks of the tile,
     each with its own while loop — finer early-exit granularity than the
-    whole tile, recovering part of the intra-tile divergence tax."""
+    whole tile, recovering part of the intra-tile divergence tax. Extra
+    per-lane arrays (clip, primed t-start) are sliced alongside the rays."""
     rows = o[0].shape[0]
     if rows_per <= 0 or rows <= rows_per:
-        return march(o, d, clip)
-    clip_arr = clip * jnp.ones_like(o[0])
+        return march(o, d, *arrs)
+    arrs = [a * jnp.ones_like(o[0]) for a in arrs]
     outs = [[] for _ in range(n_out)]
     for k in range(rows // rows_per):
         sl = slice(k * rows_per, (k + 1) * rows_per)
         res = march(tuple(c[sl] for c in o), tuple(c[sl] for c in d),
-                    clip_arr[sl])
+                    *(a[sl] for a in arrs))
         for j in range(n_out):
             outs[j].append(res[j])
     return tuple(jnp.concatenate(ch, axis=0) for ch in outs)
@@ -297,7 +298,7 @@ def _march2(proxy_fn, sdf_fn, o, d, t_start, t_clip, max_steps: int,
         return _march(sdf_fn, o, d, t_start, t_clip, max_steps, hit_eps,
                       relax=relax, eps_scale=eps_scale)
     sw = F32(_PROXY_SWITCH)
-    t0 = jnp.full_like(o[0], t_start)
+    t0 = t_start * jnp.ones_like(o[0])
     done0 = jnp.where(t0 >= t_clip, F32(1.0), F32(0.0))
 
     def cond1(s):
@@ -323,6 +324,102 @@ def _march2(proxy_fn, sdf_fn, o, d, t_start, t_clip, max_steps: int,
                   t_init=t1, relax=relax, eps_scale=eps_scale)
 
 
+def _prime_march(proxy_fn, sdf_fn, o, d, t_min: float, t_max: float,
+                 k_m: float, steps: int):
+    """Cone march: largest per-lane t_safe such that EVERY ray within
+    angle k_m/2 of this one (same origin) has SDF > 0 on [t_min, t_safe].
+
+    Step rule s = (h - k*t)/(1 + k): along the whole segment [t, t+s] any
+    point within radius k*t' of the center ray keeps SDF >= h - (t'-t)
+    - k*t' >= 0, with equality only at the far endpoint — so advancing is
+    conservative for the entire cone, not just the center ray (the same
+    inequality the penumbra skip in _soft_march uses). The caller passes
+    k_m = 2x the true pixel-block cone, leaving children a k_blk*t
+    clearance margin at t_safe. Phase 1 uses the lower-bound proxy scene
+    (sound: proxy <= true SDF); phase 2 refines with the true SDF. Lanes
+    whose cone is blocked stop (t_safe keeps its last proven value);
+    lanes reaching t_max are proven clear over the full range.
+    """
+    k = F32(k_m)
+    inv1k = F32(1.0) / (F32(1.0) + k)
+    tmaxf = F32(t_max)
+    blk = F32(1e-3)
+    t_init = jnp.full_like(o[0], F32(t_min))
+
+    def phase(fn, state, handoff_sw):
+        t0, safe0 = state
+        done0 = jnp.where(t0 >= tmaxf, F32(1.0), F32(0.0))
+
+        def cond(s):
+            i, _, _, done = s
+            return (i < steps) & (jnp.min(done) < F32(0.5))
+
+        def body(s):
+            i, t, safe, done = s
+            px = o[0] + t * d[0]
+            py = o[1] + t * d[1]
+            pz = o[2] + t * d[2]
+            h = fn((px, py, pz))
+            s_all = (h - k * t) * inv1k
+            stop = s_all <= t * blk
+            if handoff_sw is not None:
+                stop = stop | (h < handoff_sw)
+            done_new = jnp.maximum(done, jnp.where(stop, F32(1.0),
+                                                   F32(0.0)))
+            act = F32(1.0) - done_new
+            t_new = jnp.minimum(t + s_all, tmaxf)
+            safe = jnp.where(act > F32(0.5), t_new, safe)
+            t = jnp.where(act > F32(0.5), t_new, t)
+            over = jnp.where(t >= tmaxf, F32(1.0), F32(0.0))
+            done_new = jnp.maximum(done_new, act * over)
+            return i + 1, t, safe, done_new
+
+        _, t, safe, _ = jax.lax.while_loop(cond, body, (0, t0, safe0,
+                                                        done0))
+        return t, safe
+
+    state = (t_init, t_init)
+    if proxy_fn is not None:
+        state = phase(proxy_fn, state, F32(_PROXY_SWITCH))
+    _, safe = phase(sdf_fn, state, None)
+    return safe
+
+
+def _prime_body(static, settings, n_leaves, n_nodes, k_m,
+                lp_ref, np_ref,
+                ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, t0_ref):
+    lp, nparams = _read_params(lp_ref, np_ref, n_leaves, n_nodes)
+    o = (ox_ref[:], oy_ref[:], oz_ref[:])
+    d = (dx_ref[:], dy_ref[:], dz_ref[:])
+    _, sdf_objs, _ = _split(static)
+    sdf_fn = lambda p: _scene_sdf(sdf_objs, lp, nparams, p)
+    proxy_fn = _proxy_sdf_fn(sdf_objs, lp, nparams)
+    t0_ref[:] = _prime_march(proxy_fn, sdf_fn, o, d, settings.t_min,
+                             settings.t_max, k_m, settings.max_steps)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def prime_tile_kernel(static, settings: RenderSettings, k_m: float,
+                      rc: int, leaf_params, node_params, o, d):
+    """Coarse-grid cone-prime pass -> per-lane safe march start."""
+    rows_total = o[0].shape[0]
+    grid = (rows_total // rc,)
+    ir = static.ir
+    n_leaves = max(ir.n_leaves, 1)
+    n_nodes = node_params.shape[0]
+    body = functools.partial(_prime_body, static, settings, n_leaves,
+                             n_nodes, np.float32(k_m))
+    shp = jax.ShapeDtypeStruct((rows_total, LANES), jnp.float32)
+    return pl.pallas_call(
+        body,
+        out_shape=shp,
+        grid=grid,
+        in_specs=_param_specs() + _ray_specs(6, rc),
+        out_specs=_ray_specs(1, rc)[0],
+        interpret=_interpret(),
+    )(leaf_params, node_params, o[0], o[1], o[2], d[0], d[1], d[2])
+
+
 def _fd_normal(sdf_fn, p, eps: float):
     e = F32(eps)
     s0 = sdf_fn((p[0] + e, p[1] - e, p[2] - e))
@@ -342,8 +439,13 @@ def _fd_normal(sdf_fn, p, eps: float):
 # ---------------------------------------------------------------------------
 
 def trace_core(static, settings: RenderSettings, lp, nparams, o, d,
-               t_min: float, t_max):
-    """-> (t, obj_id i32, leaf_id i32, hit_f f32)."""
+               t_min: float, t_max, t0=None):
+    """-> (t, obj_id i32, leaf_id i32, hit_f f32).
+
+    t0 (optional, per-lane): a proven-safe march start from the cone
+    priming pass — no SDF surface lies before t0 along the ray. Analytic
+    objects are always intersected exactly over [t_min, t_max]; only the
+    SDF marches start at max(t_min, t0)."""
     analytic, sdf_objs, _mesh = _split(static)
     # mesh objects are intersected by the packet kernel (mesh_tile.py) and
     # merged by the caller; this core handles analytic + SDF only
@@ -368,19 +470,22 @@ def trace_core(static, settings: RenderSettings, lp, nparams, o, d,
         from surfjax.engines.sdf import leaf_sdf_fast
         order = sorted(sdf_objs, key=lambda io: len(io[1].nodes))
         t_clip = jnp.minimum(t_a, F32(t_max))
+        t_start = (F32(t_min) * jnp.ones_like(o[0]) if t0 is None
+                   else jnp.maximum(t0, F32(t_min)))
         for i, oir in order:
             sdf_i = (lambda oir=oir: lambda p: eval_sdf(
                 oir, lp, nparams, p, leaf_fn=leaf_sdf_fast))()
             proxy_i = _proxy_sdf_fn([(i, oir)], lp, nparams)
 
-            def run_march(o_s, d_s, clip_s, sdf_i=sdf_i, proxy_i=proxy_i):
-                return _march2(proxy_i, sdf_i, o_s, d_s, t_min, clip_s,
+            def run_march(o_s, d_s, clip_s, t0_s, sdf_i=sdf_i,
+                          proxy_i=proxy_i):
+                return _march2(proxy_i, sdf_i, o_s, d_s, t0_s, clip_s,
                                settings.max_steps, settings.hit_eps,
                                relax=settings.over_relax,
                                eps_scale=settings.hit_eps_scale)
 
             t_i, hit_i = _by_subtile(run_march, 2, settings.subtile_rows,
-                                     o, d, t_clip)
+                                     o, d, t_clip, t_start)
             better = (hit_i > F32(0.5)) & (t_i < t)
             t = jnp.where(better, t_i, t)
             obj = jnp.where(better, F32(float(i)), obj)
@@ -570,44 +675,54 @@ def _soft_march(sdf_fn, o, d, t_start, t_max, k, steps: int,
 
 def _ao_compute(static, settings, lp, nparams, sdf_objs, p, n):
     """AO probes over every non-mesh object (matching the jnp pipeline and
-    golden), with an EXACT tile-level skip: if every lane is more than
-    2*ao_radius outside every object's bounding sphere, every tap has
-    h >= r, so occlusion is exactly zero -> ao = 1 without any evals.
-    (Skip disabled if any object is unboundable, e.g. planes.)"""
+    golden), with an EXACT tile-level skip for bounded objects: taps lie
+    within ao_radius of the (eps-offset) receiver, so if every lane is
+    more than 2*ao_radius outside object i's bounding sphere, d_i >=
+    ao_radius >= az*r at every tap and object i cannot contribute to any
+    tap's occlusion term — dropping it from the scene min is exact.
+    Unboundable objects (planes — cheap SDFs) are always evaluated; when
+    none exist and all bounded objects are far, ao is exactly 1."""
     analytic, sdf_only, _ = _split(static)
     sdf_objs = analytic + sdf_only
     eps = F32(settings.shadow_eps)
     p_off = (p[0] + n[0] * eps, p[1] + n[1] * eps, p[2] + n[2] * eps)
-    sdf_fn = lambda pp: _scene_sdf(sdf_objs, lp, nparams, pp)
 
-    def compute():
-        return ao_probes(sdf_fn, p_off, n, settings.ao_samples,
+    def compute(objs):
+        fn = lambda pp: _scene_sdf(objs, lp, nparams, pp)
+        return ao_probes(fn, p_off, n, settings.ao_samples,
                          settings.ao_radius, settings.ao_strength)
 
+    unbounded = []
     near = None
-    for _, oir in sdf_objs:
+    for i, oir in sdf_objs:
         b = _object_bound(oir, lp, nparams)
         if b is None:
-            return compute()
+            unbounded.append((i, oir))
+            continue
         cx, cy, cz, R = b
         dx = p_off[0] - cx
         dy = p_off[1] - cy
         dz = p_off[2] - cz
         hb = jnp.sqrt((dx * dx + dy * dy) + dz * dz) - R
         near = hb if near is None else jnp.minimum(near, hb)
+    if near is None:  # nothing boundable: nothing to gate
+        return compute(sdf_objs)
+    far_branch = ((lambda: compute(unbounded)) if unbounded
+                  else (lambda: jnp.ones_like(p[0])))
     pred = jnp.min(near) <= F32(2.0) * F32(settings.ao_radius)
-    return jax.lax.cond(pred, compute, lambda: jnp.ones_like(p[0]))
+    return jax.lax.cond(pred, lambda: compute(sdf_objs), far_branch)
 
 
 def _k1_body(static, settings, n_leaves, n_nodes,
              lp_ref, np_ref,
-             ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+             ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, t0_ref,
              t_ref, obj_ref, nx_ref, ny_ref, nz_ref, ao_ref, hit_ref):
     lp, nparams = _read_params(lp_ref, np_ref, n_leaves, n_nodes)
     o = (ox_ref[:], oy_ref[:], oz_ref[:])
     d = (dx_ref[:], dy_ref[:], dz_ref[:])
     t, obj, leaf, hit_f = trace_core(static, settings, lp, nparams, o, d,
-                                     settings.t_min, settings.t_max)
+                                     settings.t_min, settings.t_max,
+                                     t0=t0_ref[:])
     t_sane = jnp.where(hit_f > F32(0.5), t, F32(0.0))
     p = (o[0] + t_sane * d[0], o[1] + t_sane * d[1], o[2] + t_sane * d[2])
     n = normals_core(static, settings, lp, nparams, p, obj, leaf, d)
@@ -650,24 +765,28 @@ def _param_specs():
 
 @functools.partial(jax.jit, static_argnums=(0, 1))
 def render_tile_kernel(static, settings: RenderSettings, leaf_params,
-                       node_params, o, d):
-    """K1 over a padded (rows_total, 128) ray grid."""
+                       node_params, o, d, t0=None):
+    """K1 over a padded (rows_total, 128) ray grid.
+
+    t0: optional per-lane primed march start (see _prime_march)."""
     rows_total = o[0].shape[0]
     R = settings.tile_rows
     grid = (rows_total // R,)
     ir = static.ir
     n_leaves = max(ir.n_leaves, 1)
     n_nodes = node_params.shape[0]
+    if t0 is None:
+        t0 = jnp.zeros_like(o[0])
     body = functools.partial(_k1_body, static, settings, n_leaves, n_nodes)
     shp = jax.ShapeDtypeStruct((rows_total, LANES), jnp.float32)
     out = pl.pallas_call(
         body,
         out_shape=(shp,) * 7,
         grid=grid,
-        in_specs=_param_specs() + _ray_specs(6, R),
+        in_specs=_param_specs() + _ray_specs(7, R),
         out_specs=tuple(_ray_specs(7, R)),
         interpret=_interpret(),
-    )(leaf_params, node_params, o[0], o[1], o[2], d[0], d[1], d[2])
+    )(leaf_params, node_params, o[0], o[1], o[2], d[0], d[1], d[2], t0)
     t, obj, nx, ny, nz, ao, hit_f = out
     return t, obj, (nx, ny, nz), ao, hit_f
 
@@ -701,12 +820,12 @@ def trace_rays_kernel(static, settings: RenderSettings, leaf_params,
 # ---------------------------------------------------------------------------
 
 def scene_march_twin(static, settings: RenderSettings, leaf_params,
-                     node_params, o, d):
+                     node_params, o, d, t0=None):
     """Pure-jnp twin of K1 on flat rays (no tiling, no Pallas)."""
     lp = leaf_params
     nparams = node_params
     t, obj, leaf, hit_f = trace_core(static, settings, lp, nparams, o, d,
-                                     settings.t_min, settings.t_max)
+                                     settings.t_min, settings.t_max, t0=t0)
     t_sane = jnp.where(hit_f > F32(0.5), t, F32(0.0))
     p = (o[0] + t_sane * d[0], o[1] + t_sane * d[1], o[2] + t_sane * d[2])
     n = normals_core(static, settings, lp, nparams, p, obj, leaf, d)
@@ -758,7 +877,53 @@ def render_frame_pallas(static, intr, settings: RenderSettings, params,
     o = (jnp.broadcast_to(cam_pos[0], rr_t.shape),
          jnp.broadcast_to(cam_pos[1], rr_t.shape),
          jnp.broadcast_to(cam_pos[2], rr_t.shape))
-    fb = _render_padded(static, settings, params, o, d)
+
+    # cone-march priming (large frames): a 1/4-res pass bounds each 4x4
+    # pixel block's safe SDF-march start — interior rays then skip most of
+    # their descent, sky blocks skip the march entirely. Conservative by
+    # construction (see _prime_march); analytic/mesh paths are unaffected.
+    _, sdf_objs, _ = _split(static)
+    t0_t = None
+    if (settings.prime and settings.march_mode == "tile" and sdf_objs
+            and min(H, W) >= settings.prime_min):
+        C = 4
+        Hc, Wc = H2 // C, W2 // C
+        Rc = 16
+        Hc2 = ((Hc + Rc - 1) // Rc) * Rc
+        Wc2 = ((Wc + LANES - 1) // LANES) * LANES
+        tyc, txc = Hc2 // Rc, Wc2 // LANES
+        ic = jnp.arange(Hc2, dtype=jnp.float32)
+        jc = jnp.arange(Wc2, dtype=jnp.float32)
+        # block-center ray = midpoint of the (edge-clamped) child pixel
+        # range, so every child is within 1.5 px of it on each axis
+        rows_c = (jnp.minimum(ic * 4, F32(H - 1))
+                  + jnp.minimum(ic * 4 + 3, F32(H - 1))) * F32(0.5)
+        cols_c = (jnp.minimum(jc * 4, F32(W - 1))
+                  + jnp.minimum(jc * 4 + 3, F32(W - 1))) * F32(0.5)
+        rr_c, cc_c = jnp.meshgrid(rows_c, cols_c, indexing="ij")
+
+        def tile_c(a):
+            return (a.reshape(tyc, Rc, txc, LANES).transpose(0, 2, 1, 3)
+                    .reshape(tyc * txc * Rc, LANES))
+
+        rr_ct = tile_c(rr_c)
+        cc_ct = tile_c(cc_c)
+        d_c = camera_ray_dirs_dyn(intr, R_flat, rr_ct, cc_ct)
+        o_c = (jnp.broadcast_to(cam_pos[0], rr_ct.shape),
+               jnp.broadcast_to(cam_pos[1], rr_ct.shape),
+               jnp.broadcast_to(cam_pos[2], rr_ct.shape))
+        # child centers lie within 1.5*sqrt(2) px of the block-center ray;
+        # march a 2x cone so children keep a k_blk*t clearance at t_safe
+        k_blk = 1.5 * np.sqrt(2.0) / min(intr.fx, intr.fy)
+        t0_c = prime_tile_kernel(static, settings, float(2.0 * k_blk), Rc,
+                                 params["leaf_params"],
+                                 params["node_params"], o_c, d_c)
+        t0_img = (t0_c.reshape(tyc, txc, Rc, LANES).transpose(0, 2, 1, 3)
+                  .reshape(Hc2, Wc2)[:Hc, :Wc])
+        t0_full = jnp.repeat(jnp.repeat(t0_img, C, axis=0), C, axis=1)
+        t0_t = tile_layout(t0_full)
+
+    fb = _render_padded(static, settings, params, o, d, t0=t0_t)
     return FrameBuffers(
         rgb=jnp.stack([untile(fb.rgb[..., 0].reshape(o[0].shape)),
                        untile(fb.rgb[..., 1].reshape(o[0].shape)),
@@ -800,9 +965,12 @@ def render_rays_pallas(static, settings: RenderSettings, params, o, d
                         obj_id=unpad(fb.obj_id))
 
 
-def _render_padded(static, settings: RenderSettings, params, o2, d2
-                   ) -> FrameBuffers:
-    """Core pallas frame on (rows_total, 128)-tiled rays; flat outputs."""
+def _render_padded(static, settings: RenderSettings, params, o2, d2,
+                   t0=None) -> FrameBuffers:
+    """Core pallas frame on (rows_total, 128)-tiled rays; flat outputs.
+
+    t0: optional per-lane primed SDF-march start (tile mode only; the
+    wavefront scheduler manages its own march state)."""
     from surfjax.core.scene_compile import (
         LIGHT_DIRECTIONAL, LIGHT_POINT,
     )
@@ -820,7 +988,8 @@ def _render_padded(static, settings: RenderSettings, params, o2, d2
             static, settings, lp, nparams, (ox, oy, oz), (dx, dy, dz))
     else:
         t, obj, n, ao, hit_f = render_tile_kernel(
-            static, settings, lp, nparams, (ox, oy, oz), (dx, dy, dz))
+            static, settings, lp, nparams, (ox, oy, oz), (dx, dy, dz),
+            t0=t0)
 
     # mesh objects: packet kernel per mesh; merge nearest
     n_geom = n

@@ -86,3 +86,23 @@ def test_pallas_backend_config3_tolerance():
     assert (np.asarray(fb_j.hit) == np.asarray(fb_p.hit)).mean() > 0.995
     d_rgb = np.abs(np.asarray(fb_j.rgb) - np.asarray(fb_p.rgb))
     assert np.quantile(d_rgb, 0.99) < 5e-2
+
+def test_cone_prime_conservative():
+    """Opt-in cone-march priming: the 1/4-res pass must never tunnel —
+    hit masks match the unprimed render exactly; hit positions may move
+    within the eps tolerance band (fractal pixels decorrelate there)."""
+    from tests.scenes import config3_sdf
+    from surfjax import render
+    scene, cam, settings = config3_sdf(size=96)
+    st = settings.with_(backend="pallas", tile_rows=8,
+                        prime=True, prime_min=64)
+    fb_p = render(scene, cam, st)
+    fb_u = render(scene, cam, st.with_(prime=False))
+    hp = np.asarray(fb_p.hit)
+    np.testing.assert_array_equal(hp, np.asarray(fb_u.hit))
+    assert 0.2 < hp.mean() < 1.0
+    d = np.abs(np.asarray(fb_p.rgb) - np.asarray(fb_u.rgb))
+    assert d.mean() < 5e-3
+    # the test-size 4x4 block cone is ~10x wider than at 1080p, so only
+    # the bulk is asserted tight; outliers are the documented eps class
+    assert np.quantile(d, 0.99) < 0.1
