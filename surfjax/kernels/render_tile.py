@@ -547,6 +547,21 @@ def visibility_core(static, settings: RenderSettings, lp, nparams,
     analytic, sdf_objs, _ = _split(static)
     vis = jnp.ones_like(o[0])
     eps = settings.shadow_eps
+
+    def _seg_bound_dist(b, t_lo):
+        """Per-lane distance from the shadow segment [t_lo, dist] to the
+        bounding sphere b (>= 0 means the whole segment stays outside)."""
+        cx, cy, cz, R = b
+        wx = cx - o[0]
+        wy = cy - o[1]
+        wz = cz - o[2]
+        proj = (wx * l[0] + wy * l[1]) + wz * l[2]
+        proj = jnp.clip(proj, t_lo, jnp.maximum(dist, t_lo))
+        qx = wx - proj * l[0]
+        qy = wy - proj * l[1]
+        qz = wz - proj * l[2]
+        return jnp.sqrt((qx * qx + qy * qy) + qz * qz) - R
+
     if settings.soft_shadows and (analytic or sdf_objs):
         # per-object penumbra marches: factors combine by MIN exactly
         # (saturate(min_t k*min_i d_i/t) == min_i saturate(min_t k*d_i/t));
@@ -554,12 +569,20 @@ def visibility_core(static, settings: RenderSettings, lp, nparams,
         nonmesh = sorted(analytic + sdf_objs,
                          key=lambda io: len(io[1].nodes))
         k = soft_k if soft_k is not None else settings.soft_shadow_k
+        kf = k if hasattr(k, "shape") else F32(k)
         soft_vis = jnp.ones_like(o[0])
         for i, oir in nonmesh:
             sdf_i = (lambda oir=oir: lambda p: eval_sdf(
                 oir, lp, nparams, p, leaf_fn=leaf_sdf_fast))()
             proxy_i = _proxy_sdf_fn([(i, oir)], lp, nparams)
             dist_i = jnp.where(soft_vis <= F32(0.0), F32(0.0), dist)
+            b = _object_bound(oir, lp, nparams)
+            if b is not None:
+                # exact lane skip: d_i(t) >= dseg - R and t <= dist, so
+                # min_t k*d_i/t >= k*(dseg - R)/dist; >= 1 -> factor is 1
+                dseg = _seg_bound_dist(b, F32(settings.soft_shadow_tmin))
+                clear = kf * dseg >= dist
+                dist_i = jnp.where(clear, F32(0.0), dist_i)
             v_i = _soft_march2(proxy_i, sdf_i, o, l,
                                settings.soft_shadow_tmin, dist_i, k,
                                settings.shadow_steps)
@@ -576,6 +599,13 @@ def visibility_core(static, settings: RenderSettings, lp, nparams,
                 oir, lp, nparams, p, leaf_fn=leaf_sdf_fast))()
             proxy_i = _proxy_sdf_fn([(i, oir)], lp, nparams)
             dist_i = jnp.where(vis <= F32(0.0), F32(0.0), dist)
+            b = _object_bound(oir, lp, nparams)
+            if b is not None:
+                # segment clears the bound by more than the hit epsilon:
+                # the march cannot register an occlusion (h >= dseg)
+                dseg = _seg_bound_dist(b, F32(eps))
+                dist_i = jnp.where(dseg > F32(settings.hit_eps), F32(0.0),
+                                   dist_i)
             t_s, hit_s = _march2(proxy_i, sdf_i, o, l, eps, dist_i,
                                  settings.max_steps, settings.hit_eps,
                                  relax=settings.over_relax)
