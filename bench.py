@@ -8,12 +8,15 @@ reference publishes no numbers; BASELINE.md).
 Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": "Mrays/s/chip", "vs_baseline": N}
 
-Methodology: the frame step plus per-buffer scalar reductions are fused into
-ONE jitted program, so each timed iteration is a single dispatch returning a
-few scalars. The measured empty-dispatch roundtrip (significant through the
-axon TPU tunnel this machine uses) is subtracted. Ray accounting
-(SURVEY.md §5.5): primary = H*W; shadow = one ray per (hit, light); AO = one
-probe ray per (hit, probe direction).
+Methodology: N full frames are rendered inside ONE jitted lax.scan
+dispatch (camera position varies per frame to defeat caching) and the
+wall time of that single dispatch is divided by N. Dispatch/tunnel
+overhead therefore amortizes to <1% with no subtraction term. A scalar
+reduction per frame keeps the scan carry tiny; the final float() fetch is
+the synchronization point (block_until_ready does not block through the
+axon TPU relay this host uses). Ray accounting (SURVEY.md §5.5):
+primary = H*W; shadow = one ray per (hit, light); AO = one probe ray per
+(hit, probe direction).
 """
 
 from __future__ import annotations
@@ -29,8 +32,9 @@ DEFAULT_CONFIG = "configs/c3_sdf.yaml"
 TARGET_MRAYS = 500.0  # BASELINE.json:5 target on v5e
 
 
-def run_bench(config: str | None = None, repeats: int = 11,
-              width: int = 1920, height: int = 1080) -> dict:
+def run_bench(config: str | None = None, repeats: int = 3,
+              width: int = 1920, height: int = 1080,
+              n_frames: int = 24) -> dict:
     import jax
     import jax.numpy as jnp
     from surfjax.api import Camera
@@ -52,41 +56,37 @@ def run_bench(config: str | None = None, repeats: int = 11,
     params = {k: jnp.asarray(v) for k, v in params.items()}
     intr = camera.intrinsics
 
-    import functools
+    @jax.jit
+    def run_scan(params, R_flat, positions):
+        def body(acc, pos):
+            fb = frame_step(static, intr, settings, params, R_flat, pos)
+            s = (fb.rgb.mean(), fb.depth.mean(), fb.hit.sum())
+            return (acc[0] + s[0], acc[1] + s[1], acc[2] + s[2]), None
 
-    @functools.partial(jax.jit, static_argnums=())
-    def step(params, R_flat, cam_pos):
-        fb = frame_step(static, intr, settings, params, R_flat, cam_pos)
-        # scalar summary only -> single tiny host transfer per frame
-        return (fb.rgb.mean(), fb.depth.mean(), fb.hit.sum())
+        acc, _ = jax.lax.scan(
+            body, (jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.0)),
+            positions)
+        return acc
 
     R_flat = jnp.asarray(np.asarray(camera.rotation, np.float32).reshape(9))
     pos0 = np.asarray(camera.position, np.float32)
+    # vary camera position per frame (sub-pixel jitter: same workload,
+    # defeats any possibility of cached results)
+    positions = jnp.asarray(
+        pos0[None, :] + np.float32(1e-4) * np.arange(
+            n_frames, dtype=np.float32)[:, None])
 
-    # measure dispatch roundtrip with a trivial program
-    triv = jax.jit(lambda x: (x * 2).sum())
-    x = jnp.ones((8, 128))
-    float(triv(x))
-    rts = []
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        float(triv(x))
-        rts.append(time.perf_counter() - t0)
-    # relay stalls are additive noise: min is the cleanest estimator
-    roundtrip = float(np.min(rts))
-
-    # warm-up / compile; vary camera position per rep to defeat any caching
-    _, _, hits = step(params, R_flat, jnp.asarray(pos0))
-    n_hits = float(hits)
+    # warm-up / compile
+    acc = run_scan(params, R_flat, positions)
+    n_hits = float(acc[2]) / n_frames
 
     times = []
-    for i in range(repeats):
-        pos = jnp.asarray(pos0 + np.float32(1e-4) * (i + 1))
+    for _ in range(repeats):
         t0 = time.perf_counter()
-        r = step(params, R_flat, pos)
-        float(r[0])
+        acc = run_scan(params, R_flat, positions)
+        float(acc[0])  # scalar fetch = sync point through the relay
         times.append(time.perf_counter() - t0)
-    dt = max(float(np.min(times)) - roundtrip, 1e-9)
+    dt = float(np.min(times)) / n_frames
 
     n_lights = len(scene.lights)
     primary = float(width * height)
@@ -108,7 +108,7 @@ def run_bench(config: str | None = None, repeats: int = 11,
         "shadow_rays": int(shadow),
         "ao_rays": int(ao),
         "frame_time_s": round(dt, 5),
-        "dispatch_roundtrip_s": round(roundtrip, 5),
+        "frames_per_dispatch": n_frames,
         "backend": jax.default_backend(),
         "devices": n_dev,
         "settings_backend": settings.backend,
