@@ -532,6 +532,107 @@ def normals_core(static, settings: RenderSettings, lp, nparams, p, obj, leaf,
     return (nx * s, ny * s, nz * s)
 
 
+def _penumbra_plane(prm, o, l, t0, t_max, kf):
+    """Closed-form penumbra factor of a plane leaf: d(t) = a + b*t is
+    linear, so f(t) = k*d(t)/t is monotone in t (f' = -k*a/t^2) and the
+    continuum min over [t0, t_max] is at an endpoint. Exact — no march.
+    Lanes with t_max <= t0 (no shadow segment) return 1."""
+    a = ((prm[0] * o[0] + prm[1] * o[1]) + prm[2] * o[2]) - prm[3]
+    b = (prm[0] * l[0] + prm[1] * l[1]) + prm[2] * l[2]
+    tm = jnp.maximum(t_max, t0)
+    f0 = kf * (a + b * t0) / t0
+    f1 = kf * (a + b * tm) / tm
+    res = jnp.minimum(f0, f1)
+    res = jnp.where(t_max <= t0, F32(1.0), res)
+    return jnp.minimum(jnp.maximum(res, F32(0.0)), F32(1.0))
+
+
+def _penumbra_sphere(prm, o, l, t0, t_max, kf):
+    """Closed-form penumbra factor of a sphere leaf.
+
+    f(t) = k*(s(t) - R)/t with s(t) = |o + t*l - c|. Interior critical
+    points satisfy b*t - A + R*s = 0, i.e. the roots of
+        t^2 (b^2 - R^2) + 2 b t (R^2 - A) + A (A - R^2) = 0
+    (b = dot(c-o, l), A = |c-o|^2). The global min over [t0, t_max] is at
+    an endpoint or one of those roots; extra/spurious candidates only add
+    values >= the min, so evaluating f at all four is exact."""
+    cx, cy, cz, R = prm[0], prm[1], prm[2], prm[3]
+    wx = cx - o[0]
+    wy = cy - o[1]
+    wz = cz - o[2]
+    A = (wx * wx + wy * wy) + wz * wz
+    b = (wx * l[0] + wy * l[1]) + wz * l[2]
+
+    def f(t):
+        s = jnp.sqrt(jnp.maximum((t - b) * t + (A - b * t), F32(0.0)))
+        return kf * (s - R) / t
+
+    tm = jnp.maximum(t_max, t0)
+    qa = b * b - R * R
+    qb = b * (R * R - A)          # half the linear coefficient
+    qc = A * (A - R * R)
+    disc = qb * qb - qa * qc
+    sq = jnp.sqrt(jnp.maximum(disc, F32(0.0)))
+    safe_qa = jnp.where(jnp.abs(qa) < F32(1e-12), F32(1e-12), qa)
+    r1 = jnp.clip((-qb - sq) / safe_qa, t0, tm)
+    r2 = jnp.clip((-qb + sq) / safe_qa, t0, tm)
+    r1 = jnp.where(disc >= F32(0.0), r1, t0)
+    r2 = jnp.where(disc >= F32(0.0), r2, t0)
+    res = jnp.minimum(jnp.minimum(f(t0), f(tm)), jnp.minimum(f(r1), f(r2)))
+    res = jnp.where(t_max <= t0, F32(1.0), res)
+    return jnp.minimum(jnp.maximum(res, F32(0.0)), F32(1.0))
+
+
+def _single_leaf_closed_form(oir):
+    """-> LEAF_PLANE / LEAF_SPHERE if the object is one positively-signed
+    plane/sphere leaf (closed-form penumbra available), else None."""
+    from surfjax.core.scene_compile import LEAF_PLANE, LEAF_SPHERE
+    if len(oir.nodes) == 1 and len(oir.leaves) == 1:
+        lf = oir.leaves[0]
+        if lf.sign > 0 and lf.kind in (LEAF_PLANE, LEAF_SPHERE):
+            return lf.kind
+    return None
+
+
+def _influence_window(b, o, l, t0, t_max, kf):
+    """Per-lane [t_lo, t_hi] window outside of which object samples cannot
+    lower the penumbra minimum below 1 (value-exact skip).
+
+    Outside the window k*h(t)/t >= k*h_bound(t)/t >= 1 (h >= h_bound since
+    the bound sphere is a pointwise lower bound of the object SDF), so a
+    sample there leaves res (which starts at 1) unchanged. The window ends
+    are the roots of k*(|o + t*l - c| - R) = t:
+        t^2 (1 - 1/k^2) - 2 t (b + R/k) + (A - R^2) = 0.
+    No real roots (or window outside [t0, t_max]) -> the object cannot
+    darken this lane at all."""
+    cx, cy, cz, R = b
+    wx = cx - o[0]
+    wy = cy - o[1]
+    wz = cz - o[2]
+    A = (wx * wx + wy * wy) + wz * wz
+    bb = (wx * l[0] + wy * l[1]) + wz * l[2]
+    inv_k = F32(1.0) / kf
+    qa = F32(1.0) - inv_k * inv_k
+    qb = -(bb + R * inv_k)        # half the linear coefficient
+    qc = A - R * R
+    disc = qb * qb - qa * qc
+    sq = jnp.sqrt(jnp.maximum(disc, F32(0.0)))
+    safe_qa = jnp.maximum(qa, F32(1e-6))
+    t_lo = (-qb - sq) / safe_qa
+    t_hi = (-qb + sq) / safe_qa
+    t_lo = jnp.maximum(t_lo, t0)
+    t_hi = jnp.minimum(t_hi, t_max)
+    empty = (disc < F32(0.0)) | (t_hi <= t_lo)
+    t_lo = jnp.where(empty, t0, t_lo)
+    t_hi = jnp.where(empty, F32(0.0), t_hi)
+    # very soft penumbra (k near/below 1): the influence region is not a
+    # bounded quadratic window — fall back to the full segment
+    no_win = kf < F32(1.2)
+    t_lo = jnp.where(no_win, t0, t_lo)
+    t_hi = jnp.where(no_win, t_max, t_hi)
+    return t_lo, t_hi
+
+
 def visibility_core(static, settings: RenderSettings, lp, nparams,
                     o, l, dist, soft_k=None):
     """Shadow visibility for a batch of secondary rays (re-entry path).
@@ -541,8 +642,16 @@ def visibility_core(static, settings: RenderSettings, lp, nparams,
 
     Semantics match the jnp pipeline and the golden oracle: with soft
     shadows ON, every non-mesh object (analytic included — their tapes are
-    exact SDFs) participates in the penumbra march; with soft shadows OFF,
-    analytic objects occlude exactly and SDF objects by march."""
+    exact SDFs) participates in the penumbra; with soft shadows OFF,
+    analytic objects occlude exactly and SDF objects by march.
+
+    Per-object penumbra evaluation strategy (pallas path):
+      - single plane/sphere leaves: closed-form continuum minimum of
+        k*d(t)/t — exact, zero march steps;
+      - bounded objects: march only the per-lane influence window where
+        k*h_bound(t)/t < 1 (samples outside provably cannot lower res);
+      - the march itself over-relaxes by settings.over_relax with the
+        same retreat-on-overshoot rule as the primary march."""
     from surfjax.engines.sdf import leaf_sdf_fast
     analytic, sdf_objs, _ = _split(static)
     vis = jnp.ones_like(o[0])
@@ -563,29 +672,41 @@ def visibility_core(static, settings: RenderSettings, lp, nparams,
         return jnp.sqrt((qx * qx + qy * qy) + qz * qz) - R
 
     if settings.soft_shadows and (analytic or sdf_objs):
-        # per-object penumbra marches: factors combine by MIN exactly
+        from surfjax.core.scene_compile import LEAF_PLANE
+        # per-object penumbra factors combine by MIN exactly
         # (saturate(min_t k*min_i d_i/t) == min_i saturate(min_t k*d_i/t));
         # cheap objects first, and lanes already fully dark skip the rest
         nonmesh = sorted(analytic + sdf_objs,
                          key=lambda io: len(io[1].nodes))
         k = soft_k if soft_k is not None else settings.soft_shadow_k
         kf = k if hasattr(k, "shape") else F32(k)
+        t0 = F32(settings.soft_shadow_tmin)
         soft_vis = jnp.ones_like(o[0])
         for i, oir in nonmesh:
+            cf = _single_leaf_closed_form(oir)
+            if cf is not None:
+                prm = lp[oir.leaves[0].slot]
+                if cf == LEAF_PLANE:
+                    v_i = _penumbra_plane(prm, o, l, t0, dist, kf)
+                else:
+                    v_i = _penumbra_sphere(prm, o, l, t0, dist, kf)
+                soft_vis = jnp.minimum(soft_vis, v_i)
+                continue
             sdf_i = (lambda oir=oir: lambda p: eval_sdf(
                 oir, lp, nparams, p, leaf_fn=leaf_sdf_fast))()
             proxy_i = _proxy_sdf_fn([(i, oir)], lp, nparams)
             dist_i = jnp.where(soft_vis <= F32(0.0), F32(0.0), dist)
             b = _object_bound(oir, lp, nparams)
+            t_init = None
             if b is not None:
-                # exact lane skip: d_i(t) >= dseg - R and t <= dist, so
-                # min_t k*d_i/t >= k*(dseg - R)/dist; >= 1 -> factor is 1
-                dseg = _seg_bound_dist(b, F32(settings.soft_shadow_tmin))
-                clear = kf * dseg >= dist
-                dist_i = jnp.where(clear, F32(0.0), dist_i)
+                # march only the influence window (value-exact skip)
+                t_lo, t_hi = _influence_window(b, o, l, t0, dist_i, kf)
+                t_init = t_lo
+                dist_i = jnp.minimum(dist_i, t_hi)
             v_i = _soft_march2(proxy_i, sdf_i, o, l,
                                settings.soft_shadow_tmin, dist_i, k,
-                               settings.shadow_steps)
+                               settings.shadow_steps,
+                               relax=settings.over_relax, t_init=t_init)
             soft_vis = jnp.minimum(soft_vis, v_i)
         return vis * soft_vis
     for _, oir in analytic:
@@ -615,7 +736,7 @@ def visibility_core(static, settings: RenderSettings, lp, nparams,
 
 
 def _soft_march2(proxy_fn, sdf_fn, o, d, t_start, t_max, k,
-                 steps: int):
+                 steps: int, relax: float = 1.0, t_init=None):
     """Two-phase penumbra march, exactly equivalent to the single-phase one.
 
     Phase 1 marches the lower-bound proxy with the same 0.5 step cap as
@@ -625,9 +746,17 @@ def _soft_march2(proxy_fn, sdf_fn, o, d, t_start, t_max, k,
     conservative at the same sampling density the single-phase march uses;
     the skipped region cannot contain a sampled penumbra minimum the
     single-phase version would have recorded at comparable resolution.
+
+    t_init: per-lane march start (influence-window entry) — supersedes the
+    proxy phase, which exists to skip the same far-field region.
     """
+    if t_init is not None:
+        return _soft_march(sdf_fn, o, d, t_start, t_max, k, steps,
+                           t_init=jnp.maximum(t_init, t_start),
+                           relax=relax)
     if proxy_fn is None:
-        return _soft_march(sdf_fn, o, d, t_start, t_max, k, steps)
+        return _soft_march(sdf_fn, o, d, t_start, t_max, k, steps,
+                           relax=relax)
     kf = k if hasattr(k, "shape") else F32(k)
     sw = F32(_PROXY_SWITCH)
     t0 = jnp.full_like(o[0], t_start)
@@ -654,26 +783,42 @@ def _soft_march2(proxy_fn, sdf_fn, o, d, t_start, t_max, k,
         return i + 1, t, done_new
 
     _, t1, _ = jax.lax.while_loop(cond1, body1, (0, t0, done0))
-    return _soft_march(sdf_fn, o, d, t_start, t_max, k, steps, t_init=t1)
+    return _soft_march(sdf_fn, o, d, t_start, t_max, k, steps, t_init=t1,
+                       relax=relax)
 
 
 def _soft_march(sdf_fn, o, d, t_start, t_max, k, steps: int,
-                t_init=None):
+                t_init=None, relax: float = 1.0):
+    """Penumbra march. relax > 1 over-relaxes exactly like the primary
+    march (_march): step by relax*step; if consecutive safety spheres no
+    longer overlap (st_prev > h_prev + |h|), retreat to the conservative
+    point and re-march unrelaxed for one step, so no occluder (or penumbra
+    minimum narrower than a safety sphere) can be stepped over. Every
+    evaluated sample is a true SDF value, so accumulating it into res is
+    always sound — including at overshot positions."""
     kf = k if hasattr(k, "shape") else F32(k)
+    w = F32(relax)
     t0 = jnp.full_like(o[0], t_start) if t_init is None else t_init
     res0 = jnp.ones_like(o[0])
     done0 = jnp.where(t0 > t_max, F32(1.0), F32(0.0))
+    z0 = jnp.zeros_like(o[0])
 
     def cond(s):
-        i, _, _, done = s
+        i, _, _, _, _, done = s
         return (i < steps) & (jnp.min(done) < F32(0.5))
 
     def body(s):
-        i, t, res, done = s
+        i, t, res, h_prev, st_prev, done = s
         px = o[0] + t * d[0]
         py = o[1] + t * d[1]
         pz = o[2] + t * d[2]
         h = sdf_fn((px, py, pz))
+        if relax > 1.0:
+            ovr = jnp.where(st_prev > h_prev + jnp.abs(h),
+                            F32(1.0), F32(0.0))
+        else:
+            ovr = z0
+        ok = F32(1.0) - ovr
         res_new = jnp.minimum(res, kf * h / t)
         # res-aware adaptive step: within a stretch where k*d/t' provably
         # stays >= res (d >= h - s, t' <= t + s => s <= (k*h - res*t)/
@@ -681,9 +826,13 @@ def _soft_march(sdf_fn, o, d, t_start, t_max, k, steps: int,
         # exact, and the allowed step grows as the penumbra darkens
         s_allowed = (kf * h - res_new * t) / (kf + res_new)
         cap = jnp.maximum(F32(0.5), s_allowed)
-        step = jnp.minimum(jnp.maximum(h, F32(1e-3)), cap)
-        t_new = t + step
-        # penumbra floor: below 1/255 the factor is visually zero
+        step = jnp.minimum(jnp.maximum(w * h, F32(1e-3)), cap)
+        t_fwd = t + step
+        t_retreat = (t - st_prev) + h_prev  # unrelaxed fallback point
+        t_new = jnp.where(ovr > F32(0.5), t_retreat, t_fwd)
+        # penumbra floor: below 1/255 the factor is visually zero; the
+        # t_max check uses the ACTUAL next position (forward or retreat)
+        # so no lane ever samples beyond the light segment
         done_new = jnp.maximum(
             done,
             jnp.maximum(jnp.where(res_new < F32(0.004), F32(1.0),
@@ -691,9 +840,12 @@ def _soft_march(sdf_fn, o, d, t_start, t_max, k, steps: int,
                         jnp.where(t_new > t_max, F32(1.0), F32(0.0))))
         res = jnp.where(done > F32(0.5), res, res_new)
         t = jnp.where(done > F32(0.5), t, t_new)
-        return i + 1, t, res, done_new
+        h_prev = jnp.where(done_new > F32(0.5), h_prev, ok * h)
+        st_prev = jnp.where(done_new > F32(0.5), st_prev, ok * step)
+        return i + 1, t, res, h_prev, st_prev, done_new
 
-    _, _, res, _ = jax.lax.while_loop(cond, body, (0, t0, res0, done0))
+    _, _, res, _, _, _ = jax.lax.while_loop(
+        cond, body, (0, t0, res0, z0, z0, done0))
     return jnp.minimum(jnp.maximum(res, F32(0.0)), F32(1.0))
 
 
@@ -703,7 +855,8 @@ def _soft_march(sdf_fn, o, d, t_start, t_max, k, steps: int,
 
 
 
-def _ao_compute(static, settings, lp, nparams, sdf_objs, p, n):
+def _ao_compute(static, settings, lp, nparams, sdf_objs, p, n,
+                already_offset: bool = False):
     """AO probes over every non-mesh object (matching the jnp pipeline and
     golden), with an EXACT tile-level skip for bounded objects: taps lie
     within ao_radius of the (eps-offset) receiver, so if every lane is
@@ -711,11 +864,17 @@ def _ao_compute(static, settings, lp, nparams, sdf_objs, p, n):
     ao_radius >= az*r at every tap and object i cannot contribute to any
     tap's occlusion term — dropping it from the scene min is exact.
     Unboundable objects (planes — cheap SDFs) are always evaluated; when
-    none exist and all bounded objects are far, ao is exactly 1."""
+    none exist and all bounded objects are far, ao is exactly 1.
+
+    already_offset: p is a pre-offset receiver (mesh hits offset along the
+    geometric normal by the caller, matching golden/renderer.py)."""
     analytic, sdf_only, _ = _split(static)
     sdf_objs = analytic + sdf_only
     eps = F32(settings.shadow_eps)
-    p_off = (p[0] + n[0] * eps, p[1] + n[1] * eps, p[2] + n[2] * eps)
+    if already_offset:
+        p_off = p
+    else:
+        p_off = (p[0] + n[0] * eps, p[1] + n[1] * eps, p[2] + n[2] * eps)
 
     def compute(objs):
         fn = lambda pp: _scene_sdf(objs, lp, nparams, pp)
@@ -757,8 +916,11 @@ def _k1_body(static, settings, n_leaves, n_nodes,
     p = (o[0] + t_sane * d[0], o[1] + t_sane * d[1], o[2] + t_sane * d[2])
     n = normals_core(static, settings, lp, nparams, p, obj, leaf, d)
 
-    _, sdf_objs, _ = _split(static)
-    if settings.ao and sdf_objs:
+    analytic, sdf_objs, _ = _split(static)
+    # AO probes the full non-mesh scene SDF — analytic objects included
+    # (their tapes are exact SDFs), matching golden/renderer.py and the
+    # jnp pipeline's _nonmesh_scene_sdf
+    if settings.ao and (analytic or sdf_objs):
         ao = _ao_compute(static, settings, lp, nparams, sdf_objs, p, n)
     else:
         ao = jnp.ones_like(p[0])
@@ -770,6 +932,53 @@ def _k1_body(static, settings, n_leaves, n_nodes,
     nz_ref[:] = n[2]
     ao_ref[:] = ao
     hit_ref[:] = hit_f
+
+
+def _ao_fix_body(static, settings, n_leaves, n_nodes,
+                 lp_ref, np_ref,
+                 px_ref, py_ref, pz_ref, nx_ref, ny_ref, nz_ref,
+                 need_ref, ao_in_ref, ao_ref):
+    """AO at externally-supplied (pre-offset) receivers — used to fix up
+    mesh-hit lanes after the mesh merge so pallas == jnp == golden on
+    mesh+SDF+AO scenes. Tiles with no needing lane pass ao through."""
+    lp, nparams = _read_params(lp_ref, np_ref, n_leaves, n_nodes)
+    p = (px_ref[:], py_ref[:], pz_ref[:])
+    n = (nx_ref[:], ny_ref[:], nz_ref[:])
+    need = need_ref[:]
+    ao_in = ao_in_ref[:]
+    _, sdf_objs, _ = _split(static)
+
+    def compute():
+        ao_new = _ao_compute(static, settings, lp, nparams, sdf_objs, p, n,
+                             already_offset=True)
+        return jnp.where(need > F32(0.5), ao_new, ao_in)
+
+    ao_ref[:] = jax.lax.cond(jnp.max(need) > F32(0.5), compute,
+                             lambda: ao_in)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def ao_fix_kernel(static, settings: RenderSettings, leaf_params,
+                  node_params, p_off, n, need, ao_in):
+    """Recompute AO for `need` lanes at pre-offset receivers p_off."""
+    rows_total = p_off[0].shape[0]
+    R = settings.tile_rows
+    grid = (rows_total // R,)
+    ir = static.ir
+    n_leaves = max(ir.n_leaves, 1)
+    n_nodes = node_params.shape[0]
+    body = functools.partial(_ao_fix_body, static, settings, n_leaves,
+                             n_nodes)
+    shp = jax.ShapeDtypeStruct((rows_total, LANES), jnp.float32)
+    return pl.pallas_call(
+        body,
+        out_shape=shp,
+        grid=grid,
+        in_specs=_param_specs() + _ray_specs(8, R),
+        out_specs=_ray_specs(1, R)[0],
+        interpret=_interpret(),
+    )(leaf_params, node_params, p_off[0], p_off[1], p_off[2],
+      n[0], n[1], n[2], need, ao_in)
 
 
 def _k2_body(static, settings, n_leaves, n_nodes,
@@ -859,8 +1068,8 @@ def scene_march_twin(static, settings: RenderSettings, leaf_params,
     t_sane = jnp.where(hit_f > F32(0.5), t, F32(0.0))
     p = (o[0] + t_sane * d[0], o[1] + t_sane * d[1], o[2] + t_sane * d[2])
     n = normals_core(static, settings, lp, nparams, p, obj, leaf, d)
-    _, sdf_objs, _ = _split(static)
-    if settings.ao and sdf_objs:
+    analytic, sdf_objs, _ = _split(static)
+    if settings.ao and (analytic or sdf_objs):
         ao = _ao_compute(static, settings, lp, nparams, sdf_objs, p, n)
     else:
         ao = jnp.ones_like(p[0])
@@ -1023,6 +1232,7 @@ def _render_padded(static, settings: RenderSettings, params, o2, d2,
 
     # mesh objects: packet kernel per mesh; merge nearest
     n_geom = n
+    mesh_won = jnp.zeros_like(ox)
     if mesh:
         from surfjax.kernels.mesh_tile import MAX_PACKET_TRIS, \
             mesh_tile_kernel
@@ -1075,8 +1285,8 @@ def _render_padded(static, settings: RenderSettings, params, o2, d2,
             n_geom = (jnp.where(better, n_g[0], n_geom[0]),
                       jnp.where(better, n_g[1], n_geom[1]),
                       jnp.where(better, n_g[2], n_geom[2]))
-            # AO probes are SDF-based; mesh hits take ao = 1
-            ao = jnp.where(better, F32(1.0), ao)
+            mesh_won = jnp.maximum(mesh_won,
+                                   jnp.where(better, F32(1.0), F32(0.0)))
 
     t_sane = jnp.where(hit_f > F32(0.5), t, F32(0.0))
     p = (ox + t_sane * dx, oy + t_sane * dy, oz + t_sane * dz)
@@ -1085,6 +1295,14 @@ def _render_padded(static, settings: RenderSettings, params, o2, d2,
     # smooth-shaded meshes; n == n_geom for non-mesh hits)
     p_off = (p[0] + n_geom[0] * eps, p[1] + n_geom[1] * eps,
              p[2] + n_geom[2] * eps)
+
+    # AO at mesh-winning lanes: K1's fused AO probed its own (pre-merge)
+    # hit points, so recompute at the merged receivers against the
+    # non-mesh scene SDF — matching golden/renderer.py and the jnp
+    # pipeline (both probe AO at every hit, mesh included)
+    if mesh and settings.ao and (len(ir.objects) > len(mesh)):
+        ao = ao_fix_kernel(static, settings, lp, nparams, p_off, n,
+                           mesh_won, ao)
 
     light_terms = []
     for li, kind in enumerate(ir.lights):

@@ -197,7 +197,8 @@ def _finish_body(static, settings, n_leaves, n_nodes,
 
     n = normals_core(static, settings, lp, nparams, p, obj, leaf, d)
 
-    if settings.ao and sdf_objs:
+    analytic, _, _ = _split(static)
+    if settings.ao and (analytic or sdf_objs):
         from surfjax.kernels.render_tile import _ao_compute
         ao = _ao_compute(static, settings, lp, nparams, sdf_objs, p, n)
     else:

@@ -175,3 +175,51 @@ def test_huge_mesh_vmem_guard_falls_back_to_dda(monkeypatch):
     d = np.abs(np.asarray(fb.rgb).astype(np.float64)
                - gold["rgb"].astype(np.float64))
     assert d.max() < 1e-3, f"DDA-fallback rgb deviates {d.max()}"
+
+
+def test_mesh_with_ao_and_soft_shadows_pallas_matches_golden():
+    """The VERDICT round-1 gap: pallas forced ao=1 at mesh hits while
+    golden/jnp probe the non-mesh scene SDF there. Mesh + SDF sphere +
+    analytic floor with ao=True and soft_shadows=True must now agree
+    across golden, jnp, and pallas."""
+    from surfjax import Camera, Plane, PointLight, RenderSettings, Sphere
+
+    v, f = octasphere(2)
+    v = v * 0.5
+    v = v + np.asarray([0.6, -0.2, 2.8], np.float32)
+    scene = Scene()
+    scene.add(TriangleMesh(vertices=v, faces=f),
+              Material.lambert(albedo=(0.8, 0.4, 0.3)))
+    scene.add(Sphere(center=(-0.6, -0.1, 3.0), radius=0.5),
+              Material.lambert(albedo=(0.3, 0.7, 0.4)), engine="sdf")
+    scene.add(Plane(normal=(0.0, 1.0, 0.0), offset=-0.7),
+              Material.lambert(albedo=(0.5, 0.5, 0.55)))
+    scene.add_light(PointLight(position=(3.0, 4.0, -1.0)))
+    cam = Camera.pinhole(96, 96, 45.0, position=(0.0, 0.3, 0.0),
+                         target=(0.0, 0.0, 3.0))
+    st = RenderSettings(shadows=True, soft_shadows=True, ao=True,
+                        ao_samples=5, max_steps=128)
+    gold = golden.render(scene, cam, st)
+    assert 0.3 < gold["hit"].mean() <= 1.0
+    fb_j = render(scene, cam, st)
+    assert (np.asarray(fb_j.hit) == gold["hit"]).mean() > 0.999
+    dj = np.abs(np.asarray(fb_j.rgb).astype(np.float64)
+                - gold["rgb"].astype(np.float64))
+    assert dj.max() < 1e-3, f"jnp rgb deviates {dj.max()}"
+    # pallas: per-object penumbra (closed-form plane/sphere) vs golden's
+    # scene-min march — mesh-hit AO must match exactly (the fixed bug);
+    # penumbra sampling differences are tolerance-bounded
+    fb_p = render(scene, cam, st.with_(backend="pallas", tile_rows=8))
+    assert (np.asarray(fb_p.hit) == gold["hit"]).mean() > 0.995
+    dp = np.abs(np.asarray(fb_p.rgb).astype(np.float64)
+                - gold["rgb"].astype(np.float64))
+    assert np.quantile(dp, 0.99) < 5e-2, np.quantile(dp, 0.99)
+    assert dp.mean() < 5e-3, dp.mean()
+    # the AO channel itself at mesh-hit pixels: compare ao-on vs ao-off
+    # pallas renders; they must differ where the SDF sphere shades the
+    # mesh (ao=1 would make them identical there)
+    fb_p0 = render(scene, cam,
+                   st.with_(backend="pallas", tile_rows=8, ao=False))
+    mesh_px = np.asarray(fb_p.obj_id) == 0
+    d_ao = np.abs(np.asarray(fb_p.rgb) - np.asarray(fb_p0.rgb))[mesh_px]
+    assert d_ao.max() > 1e-3, "AO has no effect on mesh hits (ao=1 bug)"
