@@ -26,9 +26,13 @@ _lib = None
 def _build() -> str:
     if (not os.path.exists(_LIB)
             or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
+        # build to a temp file + atomic rename (concurrent importers must
+        # never dlopen a half-written .so)
+        tmp = f"{_LIB}.{os.getpid()}.tmp"
         cmd = ["g++", "-O2", "-fno-fast-math", "-ffp-contract=off",
-               "-shared", "-fPIC", "-o", _LIB, _SRC]
+               "-shared", "-fPIC", "-o", tmp, _SRC]
         subprocess.run(cmd, check=True, capture_output=True, text=True)
+        os.replace(tmp, _LIB)
     return _LIB
 
 

@@ -30,8 +30,13 @@ def _load() -> Optional[ctypes.CDLL]:
     try:
         if (not os.path.exists(_LIB)
                 or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
-            subprocess.run(["g++", "-O2", "-shared", "-fPIC", "-o", _LIB,
+            # compile to a per-pid temp file, then rename into place:
+            # rename is atomic on the same filesystem, so a concurrent
+            # importer can never dlopen a partially written library
+            tmp = f"{_LIB}.{os.getpid()}.tmp"
+            subprocess.run(["g++", "-O2", "-shared", "-fPIC", "-o", tmp,
                             _SRC], check=True, capture_output=True)
+            os.replace(tmp, _LIB)
         lib = ctypes.CDLL(_LIB)
         f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
         i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")

@@ -76,15 +76,33 @@ class SequenceCheckpointer:
                 raise err
         return paths
 
-    def load_all(self) -> np.ndarray:
+    def load_all(self, n_frames: Optional[int] = None) -> np.ndarray:
+        """Concatenate chunks, validating contiguous coverage of
+        [0, n_frames) so stale chunks from a previous longer run in the
+        same out_dir cannot silently leak into the result. n_frames
+        defaults to the contiguous prefix length."""
+        keys = sorted(self.manifest["chunks"],
+                      key=lambda k: int(k.split(":")[0]))
         chunks = []
-        for key in sorted(self.manifest["chunks"],
-                          key=lambda k: int(k.split(":")[0])):
-            start = int(key.split(":")[0])
+        expect = 0
+        for key in keys:
+            start, count = (int(v) for v in key.split(":"))
+            if start != expect:
+                raise ValueError(
+                    f"checkpoint gap: expected chunk at frame {expect}, "
+                    f"found {start} (out_dir {self.out_dir})")
+            if n_frames is not None and start >= n_frames:
+                break
             with np.load(os.path.join(self.out_dir,
                                       f"chunk_{start:06d}.npz")) as z:
                 chunks.append(z["rgb"])
-        return np.concatenate(chunks, axis=0)
+            expect = start + count
+        if n_frames is not None and expect < n_frames:
+            raise ValueError(
+                f"checkpoint incomplete: chunks cover [0, {expect}) of "
+                f"requested {n_frames} frames")
+        out = np.concatenate(chunks, axis=0)
+        return out[:n_frames] if n_frames is not None else out
 
 
 def save_fit_state(path: str, step: int, params, opt_state=None) -> None:
