@@ -35,6 +35,12 @@ class RenderSettings:
     ao_samples: int = 5           # taps of the fixed-direction AO probe
     ao_radius: float = 0.5
     ao_strength: float = 1.0
+    # Secondary-ray level of detail (pallas path only): soft-shadow and AO
+    # probes evaluate fractal DEs with at most this many iterations
+    # (0 = full). The truncated prisoner set is a superset of the full
+    # one, so occlusion is conservative — penumbrae get slightly darker,
+    # never lighter; primary hits and hard shadows are unaffected.
+    secondary_lod_iters: int = 0
     # shading
     background: Tuple[float, float, float] = (0.0, 0.0, 0.0)
     # kernel/backend selection: "jnp" (pure jax.numpy twin) | "pallas"

@@ -57,17 +57,69 @@ def sdf_box(prm, p):
     return outside + inside
 
 
-def sdf_mandelbulb(prm, p, power: int, iterations: int):
-    """Power-8 Mandelbulb distance estimator (component 5), trig-free.
+def sdf_mandelbulb_general(prm, p, power: int, iterations: int):
+    """General power-n Mandelbulb DE via the standard triplex-power trig
+    form (z -> z^n + c with spherical-coordinate angle multiplication).
+    Differentiable and XLA-lowerable, but NOT Mosaic-lowerable (acos/atan2
+    have no Pallas TPU lowering) — the pallas backend rejects power != 8
+    up front; the jnp backend and the golden oracles use this form."""
+    c = (prm[0], prm[1], prm[2])
+    scale = prm[3]
+    bailout2 = prm[4] * prm[4] * F32(16.0)
+    inv_s = F32(1.0) / scale
+    px = (p[0] - c[0]) * inv_s
+    py = (p[1] - c[1]) * inv_s
+    pz = (p[2] - c[2]) * inv_s
+    n = F32(float(power))
 
-    Uses the closed-form degree-8 triplex power expansion (the standard
-    trigless formulation of z -> z^8 + c), so the iteration contains only
-    +, *, /, sqrt — no acos/atan2/sin/cos. This both lowers cleanly in
-    Pallas TPU (acos has no Mosaic lowering) and keeps the golden-parity
-    carve-out down to the single final log().
+    wx, wy, wz = px, py, pz
+    m = (wx * wx + wy * wy) + wz * wz
+    dz = jnp.ones_like(m)
+    escaped = m > bailout2
+    tiny = F32(1e-12)
+
+    for _ in range(iterations):
+        active = ~escaped
+        r = jnp.sqrt(jnp.maximum(m, tiny))
+        # dz' = n * r^(n-1) * dz + 1
+        rp1 = jnp.exp(F32(float(power - 1)) * jnp.log(r))
+        dz_new = n * rp1 * dz + F32(1.0)
+        theta = jnp.arccos(jnp.clip(wz / r, F32(-1.0), F32(1.0))) * n
+        phi = jnp.arctan2(wy, wx) * n
+        zr = rp1 * r  # r^n
+        st = jnp.sin(theta)
+        wx_new = px + zr * (st * jnp.cos(phi))
+        wy_new = py + zr * (st * jnp.sin(phi))
+        wz_new = pz + zr * jnp.cos(theta)
+        wx = jnp.where(active, wx_new, wx)
+        wy = jnp.where(active, wy_new, wy)
+        wz = jnp.where(active, wz_new, wz)
+        dz = jnp.where(active, dz_new, dz)
+        m = jnp.where(active, (wx * wx + wy * wy) + wz * wz, m)
+        escaped = escaped | (m > bailout2)
+
+    r = jnp.sqrt(jnp.maximum(m, tiny))
+    de = F32(0.25) * jnp.log(jnp.maximum(m, tiny)) * r / dz
+    # same far-field guard as the power-8 path (see sdf_mandelbulb)
+    r0 = jnp.sqrt((px * px + py * py) + pz * pz)
+    far = r0 - F32(1.35)
+    de = jnp.where(far > F32(0.0),
+                   jnp.minimum(de, far + F32(0.1)), de)
+    return de * scale
+
+
+def sdf_mandelbulb(prm, p, power: int, iterations: int):
+    """Mandelbulb distance estimator (component 5).
+
+    power == 8 uses the closed-form degree-8 triplex power expansion (the
+    standard trigless formulation of z -> z^8 + c), so the iteration
+    contains only +, *, /, sqrt — no acos/atan2/sin/cos. This both lowers
+    cleanly in Pallas TPU (acos has no Mosaic lowering) and keeps the
+    golden-parity carve-out down to the single final log(). Other powers
+    take the general trig form (jnp/golden paths only).
     """
     if power != 8:
-        raise NotImplementedError("Mandelbulb: only power=8 is specialized")
+        return sdf_mandelbulb_general(prm, p, power, iterations)
     c = (prm[0], prm[1], prm[2])
     scale = prm[3]
     bailout2 = prm[4] * prm[4] * F32(16.0)
@@ -145,7 +197,10 @@ def sdf_mandelbulb_while(prm, p, power: int, iterations: int):
     Mosaic-safe: f32 escape mask, scalar trip count.
     """
     if power != 8:
-        raise NotImplementedError("Mandelbulb: only power=8 is specialized")
+        raise NotImplementedError(
+            "Mandelbulb: the Pallas TPU kernel path specializes power=8 "
+            "(the general trig DE does not lower in Mosaic — acos/atan2). "
+            "Render general powers with RenderSettings(backend='jnp').")
     c = (prm[0], prm[1], prm[2])
     scale = prm[3]
     bailout2 = prm[4] * prm[4] * F32(16.0)

@@ -351,6 +351,7 @@ float leaf_sdf(const Scene &S, const ObjView &O, int li, const Vec &p) {
     return outside + inside;
   }
   // Mandelbulb (trig-free power-8; mirrors the defined semantics)
+  int power = m[2];
   int iterations = m[3];
   float scale = prm[3];
   float bailout2 = prm[4] * prm[4] * 16.0f;
@@ -362,6 +363,33 @@ float leaf_sdf(const Scene &S, const ObjView &O, int li, const Vec &p) {
   float mm = (wx * wx + wy * wy) + wz * wz;
   float dz = 1.0f;
   const float tiny = 1e-4f;
+  if (power != 8) {
+    // general power-n trig DE (engines/sdf.sdf_mandelbulb_general)
+    const float tg = 1e-12f;
+    float pw = (float)power;
+    for (int it = 0; it < iterations; ++it) {
+      if (mm > bailout2) break;
+      float r = std::sqrt(std::fmax(mm, tg));
+      float rp1 = std::exp((float)(power - 1) * std::log(r));
+      dz = pw * rp1 * dz + 1.0f;
+      float ct = wz / r;
+      ct = std::fmin(std::fmax(ct, -1.0f), 1.0f);
+      float theta = std::acos(ct) * pw;
+      float phi = std::atan2(wy, wx) * pw;
+      float zr = rp1 * r;
+      float st = std::sin(theta);
+      wx = px + zr * (st * std::cos(phi));
+      wy = py + zr * (st * std::sin(phi));
+      wz = pz + zr * std::cos(theta);
+      mm = (wx * wx + wy * wy) + wz * wz;
+    }
+    float r = std::sqrt(std::fmax(mm, tg));
+    float de = 0.25f * std::log(std::fmax(mm, tg)) * r / dz;
+    float r0 = std::sqrt((px * px + py * py) + pz * pz);
+    float far_ = r0 - 1.35f;
+    if (far_ > 0.0f && far_ + 0.1f < de) de = far_ + 0.1f;
+    return de * scale;
+  }
   for (int it = 0; it < iterations; ++it) {
     if (mm > bailout2) break;
     float m2 = mm * mm;

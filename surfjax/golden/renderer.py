@@ -297,8 +297,51 @@ def _leaf_sdf(leaf: _Leaf, p):
     raise TypeError(f"golden sdf: unsupported leaf {type(n).__name__}")
 
 
+def _sdf_mandelbulb_general(n: api.Mandelbulb, p):
+    """General power-n trig-form DE (engines/sdf.sdf_mandelbulb_general)."""
+    c = tuple(F(v) for v in n.center)
+    scale = F(n.scale)
+    bailout2 = F(n.bailout) * F(n.bailout) * F(16.0)
+    inv_s = F(1.0) / scale
+    px = (p[0] - c[0]) * inv_s
+    py = (p[1] - c[1]) * inv_s
+    pz = (p[2] - c[2]) * inv_s
+    pw = F(float(n.power))
+    wx, wy, wz = px.copy(), py.copy(), pz.copy()
+    m = (wx * wx + wy * wy) + wz * wz
+    dz = np.ones_like(m)
+    escaped = m > bailout2
+    tiny = F(1e-12)
+    with np.errstate(invalid="ignore", over="ignore"):
+        for _ in range(n.iterations):
+            active = ~escaped
+            r = np.sqrt(np.maximum(m, tiny))
+            rp1 = np.exp(F(float(n.power - 1)) * np.log(r))
+            dz_new = pw * rp1 * dz + F(1.0)
+            theta = np.arccos(np.clip(wz / r, F(-1.0), F(1.0))) * pw
+            phi = np.arctan2(wy, wx) * pw
+            zr = rp1 * r
+            st = np.sin(theta)
+            wx_new = px + zr * (st * np.cos(phi))
+            wy_new = py + zr * (st * np.sin(phi))
+            wz_new = pz + zr * np.cos(theta)
+            wx = np.where(active, wx_new, wx)
+            wy = np.where(active, wy_new, wy)
+            wz = np.where(active, wz_new, wz)
+            dz = np.where(active, dz_new, dz)
+            m = np.where(active, (wx * wx + wy * wy) + wz * wz, m)
+            escaped = escaped | (m > bailout2)
+    r = np.sqrt(np.maximum(m, tiny))
+    de = F(0.25) * np.log(np.maximum(m, tiny)) * r / dz
+    r0 = np.sqrt((px * px + py * py) + pz * pz)
+    far = r0 - F(1.35)
+    de = np.where(far > F(0.0), np.minimum(de, far + F(0.1)), de)
+    return de * scale
+
+
 def _sdf_mandelbulb(n: api.Mandelbulb, p):
-    assert n.power == 8, "golden: only power-8 mandelbulb"
+    if n.power != 8:
+        return _sdf_mandelbulb_general(n, p)
     c = tuple(F(v) for v in n.center)
     scale = F(n.scale)
     bailout2 = F(n.bailout) * F(n.bailout) * F(16.0)

@@ -97,13 +97,31 @@ def _split(static: SceneWithMeshes):
     return analytic, sdf, mesh
 
 
-def _scene_sdf(sdf_objs, lp, nparams, p):
+def _scene_sdf(sdf_objs, lp, nparams, p, leaf_fn=None):
     from surfjax.engines.sdf import leaf_sdf_fast
-    v = eval_sdf(sdf_objs[0][1], lp, nparams, p, leaf_fn=leaf_sdf_fast)
+    leaf_fn = leaf_fn or leaf_sdf_fast
+    v = eval_sdf(sdf_objs[0][1], lp, nparams, p, leaf_fn=leaf_fn)
     for _, oir in sdf_objs[1:]:
         v = jnp.minimum(v, eval_sdf(oir, lp, nparams, p,
-                                    leaf_fn=leaf_sdf_fast))
+                                    leaf_fn=leaf_fn))
     return v
+
+
+def _lod_leaf_fn(settings):
+    """Secondary-ray leaf evaluator: fractal DEs iteration-capped by
+    settings.secondary_lod_iters (see RenderSettings). None = full."""
+    cap = settings.secondary_lod_iters
+    if not cap:
+        return None
+    from surfjax.core.scene_compile import LEAF_MANDELBULB
+    from surfjax.engines.sdf import leaf_sdf_fast, sdf_mandelbulb_while
+
+    def leaf_fn(kind, prm, p, p0=0, p1=0):
+        if kind == LEAF_MANDELBULB:
+            return sdf_mandelbulb_while(prm, p, p0, min(p1, cap))
+        return leaf_sdf_fast(kind, prm, p, p0, p1)
+
+    return leaf_fn
 
 
 # ---------------------------------------------------------------------------
@@ -681,6 +699,7 @@ def visibility_core(static, settings: RenderSettings, lp, nparams,
         k = soft_k if soft_k is not None else settings.soft_shadow_k
         kf = k if hasattr(k, "shape") else F32(k)
         t0 = F32(settings.soft_shadow_tmin)
+        lod_fn = _lod_leaf_fn(settings) or leaf_sdf_fast
         soft_vis = jnp.ones_like(o[0])
         for i, oir in nonmesh:
             cf = _single_leaf_closed_form(oir)
@@ -693,7 +712,7 @@ def visibility_core(static, settings: RenderSettings, lp, nparams,
                 soft_vis = jnp.minimum(soft_vis, v_i)
                 continue
             sdf_i = (lambda oir=oir: lambda p: eval_sdf(
-                oir, lp, nparams, p, leaf_fn=leaf_sdf_fast))()
+                oir, lp, nparams, p, leaf_fn=lod_fn))()
             proxy_i = _proxy_sdf_fn([(i, oir)], lp, nparams)
             dist_i = jnp.where(soft_vis <= F32(0.0), F32(0.0), dist)
             b = _object_bound(oir, lp, nparams)
@@ -876,8 +895,10 @@ def _ao_compute(static, settings, lp, nparams, sdf_objs, p, n,
     else:
         p_off = (p[0] + n[0] * eps, p[1] + n[1] * eps, p[2] + n[2] * eps)
 
+    lod_fn = _lod_leaf_fn(settings)
+
     def compute(objs):
-        fn = lambda pp: _scene_sdf(objs, lp, nparams, pp)
+        fn = lambda pp: _scene_sdf(objs, lp, nparams, pp, leaf_fn=lod_fn)
         return ao_probes(fn, p_off, n, settings.ao_samples,
                          settings.ao_radius, settings.ao_strength)
 

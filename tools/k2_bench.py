@@ -43,6 +43,9 @@ def main():
         settings = settings.with_(over_relax=relax)
     if os.environ.get("K2_STEPS"):
         settings = settings.with_(shadow_steps=int(os.environ["K2_STEPS"]))
+    if os.environ.get("K2_LOD"):
+        settings = settings.with_(
+            secondary_lod_iters=int(os.environ["K2_LOD"]))
     if os.environ.get("K2_TILE_ROWS"):
         settings = settings.with_(tile_rows=int(os.environ["K2_TILE_ROWS"]))
     if os.environ.get("K2_ITER"):
@@ -126,6 +129,17 @@ def main():
     soft_k = jnp.where(radius > F32(0.0), dist / radius,
                        jnp.full_like(dist, settings.soft_shadow_k))
     dist_eff = jnp.where(hit_f > F32(0.5), dist, F32(0.0))
+
+    if os.environ.get("K2_QUALITY"):
+        v_full = np.asarray(rt.trace_rays_kernel(
+            static, settings.with_(secondary_lod_iters=0), lp, nparams,
+            p_off, l, dist_eff, soft_k))
+        v_lod = np.asarray(rt.trace_rays_kernel(
+            static, settings, lp, nparams, p_off, l, dist_eff, soft_k))
+        dq = np.abs(v_full - v_lod)
+        print(f"vis diff vs full: mean {dq.mean():.5f} "
+              f"q99 {np.quantile(dq, 0.99):.5f} max {dq.max():.5f} "
+              f"(lod={settings.secondary_lod_iters})")
 
     N_REP = 20
 
