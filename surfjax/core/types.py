@@ -40,7 +40,10 @@ class RenderSettings:
     # (0 = full). The truncated prisoner set is a superset of the full
     # one, so occlusion is conservative — penumbrae get slightly darker,
     # never lighter; primary hits and hard shadows are unaffected.
-    secondary_lod_iters: int = 0
+    # Measured on c3 1080p at the default 4: visibility diff vs full is
+    # mean 2.3e-4 / q99 3.9e-3 (sub-1/255 for 99% of pixels) for -35% K2
+    # time. Set 0 for bit-faithful secondary rays.
+    secondary_lod_iters: int = 4
     # shading
     background: Tuple[float, float, float] = (0.0, 0.0, 0.0)
     # kernel/backend selection: "jnp" (pure jax.numpy twin) | "pallas"

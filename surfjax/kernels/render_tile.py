@@ -184,10 +184,16 @@ def _object_bound(oir, lp, nparams):
 
 def _proxy_sdf_fn(sdf_objs, lp, nparams):
     """-> (proxy_fn or None). None means no object benefits from a proxy."""
+    from surfjax.core.scene_compile import LEAF_MANDELBULB
     parts = []
     any_bounded_expensive = False
     for _, oir in sdf_objs:
-        cheap = len(oir.nodes) <= 2
+        # a node-count-cheap object still deserves a proxy if its leaf is
+        # an iterated fractal DE (the single-leaf Mandelbulb: ~8x the
+        # eval cost of its bounding sphere, and the tile-level inner-loop
+        # escape check makes near-tile far-lane evals pay full price)
+        has_fractal = any(lf.kind == LEAF_MANDELBULB for lf in oir.leaves)
+        cheap = len(oir.nodes) <= 2 and not has_fractal
         b = None if cheap else _object_bound(oir, lp, nparams)
         if b is None:
             parts.append(("exact", oir))
