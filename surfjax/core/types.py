@@ -44,6 +44,19 @@ class RenderSettings:
     # mean 2.3e-4 / q99 3.9e-3 (sub-1/255 for 99% of pixels) for -35% K2
     # time. Set 0 for bit-faithful secondary rays.
     secondary_lod_iters: int = 4
+    # Capped-march residual scheduling (pallas tile path only; exact —
+    # see kernels/render_tile.py::_block_residual): pass A bounds every
+    # SDF march at march_cap steps (shadow marches at shadow_march_cap),
+    # so a tile's while-loop time is bounded by the cap instead of its
+    # worst lane's crawl; the (8,128) blocks holding a cut-off lane are
+    # then gathered, re-run at full budget, and scattered back. Results
+    # are bit-identical to the uncapped pass at any cap value. 0 (the
+    # default) disables the cap: on the c3 fractal workload the
+    # divergent lanes line the silhouette and spread over ~26% of
+    # blocks, so the residual pass measured 3-18 ms SLOWER at 1080p —
+    # enable only for scenes whose slow lanes cluster spatially.
+    march_cap: int = 0
+    shadow_march_cap: int = 0
     # shading
     background: Tuple[float, float, float] = (0.0, 0.0, 0.0)
     # kernel/backend selection: "jnp" (pure jax.numpy twin) | "pallas"

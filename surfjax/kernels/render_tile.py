@@ -107,12 +107,10 @@ def _scene_sdf(sdf_objs, lp, nparams, p, leaf_fn=None):
     return v
 
 
-def _lod_leaf_fn(settings):
-    """Secondary-ray leaf evaluator: fractal DEs iteration-capped by
-    settings.secondary_lod_iters (see RenderSettings). None = full."""
-    cap = settings.secondary_lod_iters
-    if not cap:
-        return None
+def _capped_leaf_fn(cap: int):
+    """Leaf evaluator with fractal DEs iteration-capped at `cap`.
+    The truncated prisoner set is a superset of the full one, so the
+    capped DE lower-bounds distance to a surface enclosing the true one."""
     from surfjax.core.scene_compile import LEAF_MANDELBULB
     from surfjax.engines.sdf import leaf_sdf_fast, sdf_mandelbulb_while
 
@@ -122,6 +120,15 @@ def _lod_leaf_fn(settings):
         return leaf_sdf_fast(kind, prm, p, p0, p1)
 
     return leaf_fn
+
+
+def _lod_leaf_fn(settings):
+    """Secondary-ray leaf evaluator: fractal DEs iteration-capped by
+    settings.secondary_lod_iters (see RenderSettings). None = full."""
+    cap = settings.secondary_lod_iters
+    if not cap:
+        return None
+    return _capped_leaf_fn(cap)
 
 
 # ---------------------------------------------------------------------------
@@ -224,8 +231,11 @@ def _march(sdf_fn, o, d, t_start, t_clip, max_steps: int, hit_eps: float,
            t_init=None, relax: float = 1.0, eps_scale: float = 0.0):
     """Bounded scene march with per-tile early exit. f32 mask carries.
 
-    Returns (t, hit_f) where hit_f is a 0/1 f32 mask. Lanes whose t_clip is
-    already below t_start skip the march entirely (done at trip 0).
+    Returns (t, hit_f, unres_f): hit_f is a 0/1 f32 hit mask; unres_f
+    flags lanes whose march was still active when the step budget ran
+    out (no hit, t below t_clip) — the capped-march residual pass
+    (see _render_padded) re-marches exactly those. Lanes whose t_clip
+    is already below t_start skip the march entirely (done at trip 0).
     t_init overrides the per-lane starting t (two-phase handoff).
 
     relax > 1 enables over-relaxed sphere tracing (Keinert et al. style):
@@ -282,9 +292,9 @@ def _march(sdf_fn, o, d, t_start, t_clip, max_steps: int, hit_eps: float,
                                                     done, hit)
         return i + MARCH_UNROLL, t, h_prev, st_prev, done, hit
 
-    _, t, _, _, _, hit = jax.lax.while_loop(
+    _, t, _, _, done, hit = jax.lax.while_loop(
         cond, body, (0, t0, z0, z0, done0, hit0))
-    return t, hit
+    return t, hit, F32(1.0) - done
 
 
 _PROXY_SWITCH = 0.08  # hand off to the full SDF within this proxy distance
@@ -310,38 +320,46 @@ def _by_subtile(march, n_out, rows_per: int, o, d, *arrs):
     return tuple(jnp.concatenate(ch, axis=0) for ch in outs)
 
 
-def _march2(proxy_fn, sdf_fn, o, d, t_start, t_clip, max_steps: int,
-            hit_eps: float, relax: float = 1.0, eps_scale: float = 0.0):
-    """Two-phase march: cheap proxy until near geometry, then full SDF.
-
-    The proxy is a pointwise lower bound of the scene SDF, so phase 1 never
-    oversteps a true surface. Lanes hand off when proxy < _PROXY_SWITCH;
-    phase 2 is the ordinary bounded march continued from the handoff t.
-    """
-    if proxy_fn is None:
-        return _march(sdf_fn, o, d, t_start, t_clip, max_steps, hit_eps,
-                      relax=relax, eps_scale=eps_scale)
-    sw = F32(_PROXY_SWITCH)
-    t0 = t_start * jnp.ones_like(o[0])
+def _approach_march(fn, sw, o, d, t0, t_clip, max_steps: int):
+    """March fn (a pointwise lower bound of the true scene SDF) from the
+    per-lane t0 until fn < sw or t > t_clip. Hit-free: only advances t.
+    Never oversteps a surface of any SDF that fn lower-bounds."""
     done0 = jnp.where(t0 >= t_clip, F32(1.0), F32(0.0))
 
-    def cond1(s):
+    def cond(s):
         i, _, done = s
         return (i < max_steps) & (jnp.min(done) < F32(0.5))
 
-    def body1(s):
+    def body(s):
         i, t, done = s
         px = o[0] + t * d[0]
         py = o[1] + t * d[1]
         pz = o[2] + t * d[2]
-        h = proxy_fn((px, py, pz))
+        h = fn((px, py, pz))
         near = jnp.where(h < sw, F32(1.0), F32(0.0))
         over = jnp.where(t > t_clip, F32(1.0), F32(0.0))
         done_new = jnp.maximum(done, jnp.maximum(near, over))
         t = jnp.where(done_new > F32(0.5), t, t + h)
         return i + 1, t, done_new
 
-    _, t1, _ = jax.lax.while_loop(cond1, body1, (0, t0, done0))
+    _, t1, _ = jax.lax.while_loop(cond, body, (0, t0, done0))
+    return t1
+
+
+def _march2(proxy_fn, sdf_fn, o, d, t_start, t_clip, max_steps: int,
+            hit_eps: float, relax: float = 1.0, eps_scale: float = 0.0):
+    """Two-phase march: cheap proxy until near geometry, then full SDF.
+
+    The proxy is a pointwise lower bound of the scene SDF, so phase 1
+    never oversteps a true surface. Lanes hand off when proxy <
+    _PROXY_SWITCH; phase 2 is the ordinary bounded march continued from
+    the handoff t. Returns (t, hit_f, unres_f) — see _march.
+    """
+    if proxy_fn is None:
+        return _march(sdf_fn, o, d, t_start, t_clip, max_steps, hit_eps,
+                      relax=relax, eps_scale=eps_scale)
+    t1 = _approach_march(proxy_fn, F32(_PROXY_SWITCH), o, d,
+                         t_start * jnp.ones_like(o[0]), t_clip, max_steps)
     # phase 2 from the handoff point (lanes already past t_clip finish
     # immediately inside _march via its done0)
     return _march(sdf_fn, o, d, F32(0.0), t_clip, max_steps, hit_eps,
@@ -463,13 +481,20 @@ def _fd_normal(sdf_fn, p, eps: float):
 # ---------------------------------------------------------------------------
 
 def trace_core(static, settings: RenderSettings, lp, nparams, o, d,
-               t_min: float, t_max, t0=None):
-    """-> (t, obj_id i32, leaf_id i32, hit_f f32).
+               t_min: float, t_max, t0=None, march_cap: int = 0):
+    """-> (t, obj_id i32, leaf_id i32, hit_f f32, unres_f f32).
 
     t0 (optional, per-lane): a proven-safe march start from the cone
     priming pass — no SDF surface lies before t0 along the ray. Analytic
     objects are always intersected exactly over [t_min, t_max]; only the
-    SDF marches start at max(t_min, t0)."""
+    SDF marches start at max(t_min, t0).
+
+    march_cap > 0 bounds every SDF march's step budget at march_cap
+    instead of settings.max_steps; lanes whose march was cut off are
+    flagged in unres_f so the caller can re-march exactly those at full
+    budget (the capped-march residual pass in _render_padded). With
+    march_cap=0, unres_f marks lanes that exhausted max_steps (the
+    ordinary sphere-trace truncation; treated as a miss everywhere)."""
     analytic, sdf_objs, _mesh = _split(static)
     # mesh objects are intersected by the packet kernel (mesh_tile.py) and
     # merged by the caller; this core handles analytic + SDF only
@@ -477,6 +502,7 @@ def trace_core(static, settings: RenderSettings, lp, nparams, o, d,
     t_a = jnp.full_like(o[0], BIG)
     obj = jnp.full_like(o[0], -1.0)
     leaf = jnp.zeros_like(o[0])
+    unres = jnp.zeros_like(o[0])
     for i, oir in analytic:
         t_i, leaf_i = intersect_analytic(oir, lp, o, d, t_min, t_max)
         better = t_i < t_a
@@ -493,6 +519,7 @@ def trace_core(static, settings: RenderSettings, lp, nparams, o, d,
         # tape, and attribution is exact — no scene-min argmin.
         from surfjax.engines.sdf import leaf_sdf_fast
         order = sorted(sdf_objs, key=lambda io: len(io[1].nodes))
+        steps = march_cap if march_cap > 0 else settings.max_steps
         t_clip = jnp.minimum(t_a, F32(t_max))
         t_start = (F32(t_min) * jnp.ones_like(o[0]) if t0 is None
                    else jnp.maximum(t0, F32(t_min)))
@@ -504,20 +531,22 @@ def trace_core(static, settings: RenderSettings, lp, nparams, o, d,
             def run_march(o_s, d_s, clip_s, t0_s, sdf_i=sdf_i,
                           proxy_i=proxy_i):
                 return _march2(proxy_i, sdf_i, o_s, d_s, t0_s, clip_s,
-                               settings.max_steps, settings.hit_eps,
+                               steps, settings.hit_eps,
                                relax=settings.over_relax,
                                eps_scale=settings.hit_eps_scale)
 
-            t_i, hit_i = _by_subtile(run_march, 2, settings.subtile_rows,
-                                     o, d, t_clip, t_start)
+            t_i, hit_i, un_i = _by_subtile(run_march, 3,
+                                           settings.subtile_rows,
+                                           o, d, t_clip, t_start)
             better = (hit_i > F32(0.5)) & (t_i < t)
             t = jnp.where(better, t_i, t)
             obj = jnp.where(better, F32(float(i)), obj)
             leaf = jnp.where(better, F32(0.0), leaf)
             t_clip = jnp.minimum(t_clip, t)
+            unres = jnp.maximum(unres, un_i)
 
     hit_f = jnp.where(t < BIG * F32(0.5), F32(1.0), F32(0.0))
-    return t, obj, leaf, hit_f
+    return t, obj, leaf, hit_f, unres
 
 
 def normals_core(static, settings: RenderSettings, lp, nparams, p, obj, leaf,
@@ -658,8 +687,17 @@ def _influence_window(b, o, l, t0, t_max, kf):
 
 
 def visibility_core(static, settings: RenderSettings, lp, nparams,
-                    o, l, dist, soft_k=None):
+                    o, l, dist, soft_k=None, march_cap: int = 0):
     """Shadow visibility for a batch of secondary rays (re-entry path).
+    -> (vis, unres_f).
+
+    march_cap > 0 bounds every shadow march at march_cap steps instead
+    of settings.shadow_steps (soft) / settings.max_steps (hard);
+    unres_f flags lanes still marching when the budget ran out, so the
+    caller can re-trace exactly those at full budget. Re-tracing a lane
+    that resolved within the cap reproduces its result bit-for-bit (the
+    march is deterministic and the budget only extends), so the capped
+    pass + residual pass together equal the uncapped pass.
 
     soft_k: per-ray penumbra sharpness (area lights: dist/radius); None
     falls back to the global settings.soft_shadow_k.
@@ -706,7 +744,9 @@ def visibility_core(static, settings: RenderSettings, lp, nparams,
         kf = k if hasattr(k, "shape") else F32(k)
         t0 = F32(settings.soft_shadow_tmin)
         lod_fn = _lod_leaf_fn(settings) or leaf_sdf_fast
+        steps = march_cap if march_cap > 0 else settings.shadow_steps
         soft_vis = jnp.ones_like(o[0])
+        unres = jnp.zeros_like(o[0])
         for i, oir in nonmesh:
             cf = _single_leaf_closed_form(oir)
             if cf is not None:
@@ -728,12 +768,16 @@ def visibility_core(static, settings: RenderSettings, lp, nparams,
                 t_lo, t_hi = _influence_window(b, o, l, t0, dist_i, kf)
                 t_init = t_lo
                 dist_i = jnp.minimum(dist_i, t_hi)
-            v_i = _soft_march2(proxy_i, sdf_i, o, l,
-                               settings.soft_shadow_tmin, dist_i, k,
-                               settings.shadow_steps,
-                               relax=settings.over_relax, t_init=t_init)
+            v_i, un_i = _soft_march2(proxy_i, sdf_i, o, l,
+                                     settings.soft_shadow_tmin, dist_i, k,
+                                     steps,
+                                     relax=settings.over_relax,
+                                     t_init=t_init)
             soft_vis = jnp.minimum(soft_vis, v_i)
-        return vis * soft_vis
+            unres = jnp.maximum(unres, un_i)
+        return vis * soft_vis, unres
+    steps = march_cap if march_cap > 0 else settings.max_steps
+    unres = jnp.zeros_like(o[0])
     for _, oir in analytic:
         t_i, _ = intersect_analytic(oir, lp, o, l, eps, dist)
         vis = vis * jnp.where(t_i < dist, F32(0.0), F32(1.0))
@@ -752,12 +796,13 @@ def visibility_core(static, settings: RenderSettings, lp, nparams,
                 dseg = _seg_bound_dist(b, F32(eps))
                 dist_i = jnp.where(dseg > F32(settings.hit_eps), F32(0.0),
                                    dist_i)
-            t_s, hit_s = _march2(proxy_i, sdf_i, o, l, eps, dist_i,
-                                 settings.max_steps, settings.hit_eps,
-                                 relax=settings.over_relax)
+            t_s, hit_s, un_i = _march2(proxy_i, sdf_i, o, l, eps, dist_i,
+                                       steps, settings.hit_eps,
+                                       relax=settings.over_relax)
             occ = (hit_s > F32(0.5)) & (t_s < dist_i)
             vis = vis * jnp.where(occ, F32(0.0), F32(1.0))
-    return vis
+            unres = jnp.maximum(unres, un_i)
+    return vis, unres
 
 
 def _soft_march2(proxy_fn, sdf_fn, o, d, t_start, t_max, k,
@@ -869,9 +914,10 @@ def _soft_march(sdf_fn, o, d, t_start, t_max, k, steps: int,
         st_prev = jnp.where(done_new > F32(0.5), st_prev, ok * step)
         return i + 1, t, res, h_prev, st_prev, done_new
 
-    _, _, res, _, _, _ = jax.lax.while_loop(
+    _, _, res, _, _, done = jax.lax.while_loop(
         cond, body, (0, t0, res0, z0, z0, done0))
-    return jnp.minimum(jnp.maximum(res, F32(0.0)), F32(1.0))
+    return (jnp.minimum(jnp.maximum(res, F32(0.0)), F32(1.0)),
+            F32(1.0) - done)
 
 
 # ---------------------------------------------------------------------------
@@ -929,16 +975,18 @@ def _ao_compute(static, settings, lp, nparams, sdf_objs, p, n,
     return jax.lax.cond(pred, lambda: compute(sdf_objs), far_branch)
 
 
-def _k1_body(static, settings, n_leaves, n_nodes,
+def _k1_body(static, settings, n_leaves, n_nodes, march_cap,
              lp_ref, np_ref,
              ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, t0_ref,
-             t_ref, obj_ref, nx_ref, ny_ref, nz_ref, ao_ref, hit_ref):
+             t_ref, obj_ref, nx_ref, ny_ref, nz_ref, ao_ref, hit_ref,
+             unres_ref):
     lp, nparams = _read_params(lp_ref, np_ref, n_leaves, n_nodes)
     o = (ox_ref[:], oy_ref[:], oz_ref[:])
     d = (dx_ref[:], dy_ref[:], dz_ref[:])
-    t, obj, leaf, hit_f = trace_core(static, settings, lp, nparams, o, d,
-                                     settings.t_min, settings.t_max,
-                                     t0=t0_ref[:])
+    t, obj, leaf, hit_f, unres = trace_core(static, settings, lp, nparams,
+                                            o, d, settings.t_min,
+                                            settings.t_max, t0=t0_ref[:],
+                                            march_cap=march_cap)
     t_sane = jnp.where(hit_f > F32(0.5), t, F32(0.0))
     p = (o[0] + t_sane * d[0], o[1] + t_sane * d[1], o[2] + t_sane * d[2])
     n = normals_core(static, settings, lp, nparams, p, obj, leaf, d)
@@ -959,6 +1007,7 @@ def _k1_body(static, settings, n_leaves, n_nodes,
     nz_ref[:] = n[2]
     ao_ref[:] = ao
     hit_ref[:] = hit_f
+    unres_ref[:] = unres
 
 
 def _ao_fix_body(static, settings, n_leaves, n_nodes,
@@ -1008,15 +1057,18 @@ def ao_fix_kernel(static, settings: RenderSettings, leaf_params,
       n[0], n[1], n[2], need, ao_in)
 
 
-def _k2_body(static, settings, n_leaves, n_nodes,
+def _k2_body(static, settings, n_leaves, n_nodes, march_cap,
              lp_ref, np_ref,
              ox_ref, oy_ref, oz_ref, lx_ref, ly_ref, lz_ref, dist_ref,
-             k_ref, vis_ref):
+             k_ref, vis_ref, unres_ref):
     lp, nparams = _read_params(lp_ref, np_ref, n_leaves, n_nodes)
     o = (ox_ref[:], oy_ref[:], oz_ref[:])
     l = (lx_ref[:], ly_ref[:], lz_ref[:])
-    vis_ref[:] = visibility_core(static, settings, lp, nparams, o, l,
-                                 dist_ref[:], soft_k=k_ref[:])
+    vis, unres = visibility_core(static, settings, lp, nparams, o, l,
+                                 dist_ref[:], soft_k=k_ref[:],
+                                 march_cap=march_cap)
+    vis_ref[:] = vis
+    unres_ref[:] = unres
 
 
 def _ray_specs(n_arrays: int, rows: int):
@@ -1029,12 +1081,14 @@ def _param_specs():
             pl.BlockSpec(memory_space=pltpu.SMEM)]
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1))
-def render_tile_kernel(static, settings: RenderSettings, leaf_params,
-                       node_params, o, d, t0=None):
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def render_tile_kernel(static, settings: RenderSettings, march_cap: int,
+                       leaf_params, node_params, o, d, t0=None):
     """K1 over a padded (rows_total, 128) ray grid.
 
-    t0: optional per-lane primed march start (see _prime_march)."""
+    t0: optional per-lane primed march start (see _prime_march).
+    march_cap: SDF-march step budget override (0 = settings.max_steps);
+    the unres output flags lanes cut off by it (see trace_core)."""
     rows_total = o[0].shape[0]
     R = settings.tile_rows
     grid = (rows_total // R,)
@@ -1043,42 +1097,45 @@ def render_tile_kernel(static, settings: RenderSettings, leaf_params,
     n_nodes = node_params.shape[0]
     if t0 is None:
         t0 = jnp.zeros_like(o[0])
-    body = functools.partial(_k1_body, static, settings, n_leaves, n_nodes)
+    body = functools.partial(_k1_body, static, settings, n_leaves, n_nodes,
+                             march_cap)
     shp = jax.ShapeDtypeStruct((rows_total, LANES), jnp.float32)
     out = pl.pallas_call(
         body,
-        out_shape=(shp,) * 7,
+        out_shape=(shp,) * 8,
         grid=grid,
         in_specs=_param_specs() + _ray_specs(7, R),
-        out_specs=tuple(_ray_specs(7, R)),
+        out_specs=tuple(_ray_specs(8, R)),
         interpret=_interpret(),
     )(leaf_params, node_params, o[0], o[1], o[2], d[0], d[1], d[2], t0)
-    t, obj, nx, ny, nz, ao, hit_f = out
-    return t, obj, (nx, ny, nz), ao, hit_f
+    t, obj, nx, ny, nz, ao, hit_f, unres = out
+    return t, obj, (nx, ny, nz), ao, hit_f, unres
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1))
-def trace_rays_kernel(static, settings: RenderSettings, leaf_params,
-                      node_params, o, l, dist, soft_k):
-    """K2: batched secondary-ray visibility (same intersection core)."""
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def trace_rays_kernel(static, settings: RenderSettings, march_cap: int,
+                      leaf_params, node_params, o, l, dist, soft_k):
+    """K2: batched secondary-ray visibility (same intersection core).
+    -> (vis, unres) — see visibility_core for march_cap semantics."""
     rows_total = o[0].shape[0]
     R = settings.tile_rows
     grid = (rows_total // R,)
     ir = static.ir
     n_leaves = max(ir.n_leaves, 1)
     n_nodes = node_params.shape[0]
-    body = functools.partial(_k2_body, static, settings, n_leaves, n_nodes)
+    body = functools.partial(_k2_body, static, settings, n_leaves, n_nodes,
+                             march_cap)
     shp = jax.ShapeDtypeStruct((rows_total, LANES), jnp.float32)
-    vis = pl.pallas_call(
+    vis, unres = pl.pallas_call(
         body,
-        out_shape=shp,
+        out_shape=(shp, shp),
         grid=grid,
         in_specs=_param_specs() + _ray_specs(8, R),
-        out_specs=_ray_specs(1, R)[0],
+        out_specs=tuple(_ray_specs(2, R)),
         interpret=_interpret(),
     )(leaf_params, node_params, o[0], o[1], o[2], l[0], l[1], l[2], dist,
       soft_k)
-    return vis
+    return vis, unres
 
 
 # ---------------------------------------------------------------------------
@@ -1090,8 +1147,9 @@ def scene_march_twin(static, settings: RenderSettings, leaf_params,
     """Pure-jnp twin of K1 on flat rays (no tiling, no Pallas)."""
     lp = leaf_params
     nparams = node_params
-    t, obj, leaf, hit_f = trace_core(static, settings, lp, nparams, o, d,
-                                     settings.t_min, settings.t_max, t0=t0)
+    t, obj, leaf, hit_f, _ = trace_core(static, settings, lp, nparams,
+                                        o, d, settings.t_min,
+                                        settings.t_max, t0=t0)
     t_sane = jnp.where(hit_f > F32(0.5), t, F32(0.0))
     p = (o[0] + t_sane * d[0], o[1] + t_sane * d[1], o[2] + t_sane * d[2])
     n = normals_core(static, settings, lp, nparams, p, obj, leaf, d)
@@ -1101,6 +1159,81 @@ def scene_march_twin(static, settings: RenderSettings, leaf_params,
     else:
         ao = jnp.ones_like(p[0])
     return t, obj, n, ao, hit_f
+
+
+# ---------------------------------------------------------------------------
+# Capped-march residual pass: the EP-analogue ray re-scheduling from
+# SURVEY §2.2, done TPU-style. A full device sort of rays costs ~240 ms
+# on TPU v5e and lane-granularity scatter ~47 ms — both non-starters —
+# but contiguous (8,128)-block gathers are cheap, so pass A runs every
+# march with a small step cap (bounding each tile's while-loop at cap
+# steps instead of its worst lane's crawl) and only blocks holding a
+# cut-off lane are gathered, re-run at full budget, and scattered back.
+# Deterministic marches make this exact: re-running a resolved lane with
+# a larger budget reproduces its result bit-for-bit (verified bitwise in
+# tests/test_kernels.py).
+#
+# MEASURED NEGATIVE on the c3 flagship (1080p, TPU v5e, r2): divergent
+# lanes trace the fractal silhouette, a long curve that crosses 26% of
+# the (8,128) blocks at cap=32 (49% at 16, 7% at 48) — so the residual
+# re-marches a quarter of the frame at full cost on top of the capped
+# pass, and every sweep point lost 3-18 ms vs the plain tile path
+# (35.3 ms baseline; mc=32: 48.4, mc=48: 38.7, sc=16: 38.7). The caps
+# therefore DEFAULT OFF; the machinery stays because it is exact, tested
+# and the right shape for scenes whose expensive lanes cluster spatially
+# (many small objects) rather than along a global silhouette.
+# ---------------------------------------------------------------------------
+
+RESID_BLOCK_ROWS = 8   # residual compaction granularity ((8,128) blocks)
+RESID_CAP_FRAC = 4     # residual capacity = ceil(NB/4) blocks
+
+
+def _block_residual(unres, ins, outs, kernel_fn, tile_rows: int):
+    """Re-run kernel_fn at full budget on the (RESID_BLOCK_ROWS, 128)
+    blocks flagged by unres, overwriting those blocks of outs.
+
+    ins / outs: (rows_total, 128) arrays (kernel inputs / capped-pass
+    outputs). kernel_fn(list_of_ins) -> list_of_outs on any row-multiple
+    of tile_rows. If the flagged blocks exceed the residual capacity,
+    falls back to kernel_fn on the whole frame — correctness never
+    depends on the capacity, only the fast path's size does."""
+    rows_total = unres.shape[0]
+    BR = RESID_BLOCK_ROWS
+    tpb = max(tile_rows // BR, 1)          # blocks per kernel tile
+    NB = rows_total // BR
+    cap_blocks = -(-NB // RESID_CAP_FRAC)  # ceil(NB / frac)
+    M = -(-cap_blocks // tpb) * tpb        # ceil to a whole kernel tile
+    if rows_total % (BR * tpb) or NB <= M:
+        # tiny frames: the capped pass saved nothing; just run full
+        return tuple(kernel_fn(ins))
+    LB = BR * LANES
+    mask_b = unres.reshape(NB, LB).max(axis=1)
+    count = jnp.sum(mask_b).astype(jnp.int32)
+    pos = (jnp.cumsum(mask_b) - mask_b).astype(jnp.int32)
+    # flagged block -> its compact slot; unflagged -> M (dropped)
+    slot = jnp.where(mask_b > F32(0.5), pos, M)
+    idx0 = jnp.zeros((M,), jnp.int32).at[slot].set(
+        jnp.arange(NB, dtype=jnp.int32), mode="drop")
+    slot_valid = jnp.arange(M, dtype=jnp.int32) < count
+
+    def residual():
+        g_idx = jnp.where(slot_valid, idx0, 0)   # pad slots redo block 0
+        sub_ins = [a.reshape(NB, LB)[g_idx].reshape(M * BR, LANES)
+                   for a in ins]
+        sub_outs = kernel_fn(sub_ins)
+        s_idx = jnp.where(slot_valid, idx0, NB)  # pad slots dropped
+        new = []
+        for o_full, s in zip(outs, sub_outs):
+            ob = o_full.reshape(NB, LB)
+            sb = s.reshape(M, LB)
+            new.append(ob.at[s_idx].set(sb, mode="drop")
+                       .reshape(rows_total, LANES))
+        return tuple(new)
+
+    def fallback():
+        return tuple(kernel_fn(ins))
+
+    return jax.lax.cond(count <= M, residual, fallback)
 
 
 # ---------------------------------------------------------------------------
@@ -1253,9 +1386,24 @@ def _render_padded(static, settings: RenderSettings, params, o2, d2,
         t, obj, _leaf, n, ao, hit_f = march_wavefront(
             static, settings, lp, nparams, (ox, oy, oz), (dx, dy, dz))
     else:
-        t, obj, n, ao, hit_f = render_tile_kernel(
-            static, settings, lp, nparams, (ox, oy, oz), (dx, dy, dz),
-            t0=t0)
+        cap = settings.march_cap
+        t0_arr = jnp.zeros_like(ox) if t0 is None else t0
+        t, obj, n, ao, hit_f, unres = render_tile_kernel(
+            static, settings, cap, lp, nparams, (ox, oy, oz),
+            (dx, dy, dz), t0=t0_arr)
+        if cap:
+            def k1_full(sub):
+                tt, oo, nn, aa, hh, _ = render_tile_kernel(
+                    static, settings, 0, lp, nparams,
+                    (sub[0], sub[1], sub[2]), (sub[3], sub[4], sub[5]),
+                    t0=sub[6])
+                return [tt, oo, nn[0], nn[1], nn[2], aa, hh]
+
+            t, obj, nx_, ny_, nz_, ao, hit_f = _block_residual(
+                unres, [ox, oy, oz, dx, dy, dz, t0_arr],
+                [t, obj, n[0], n[1], n[2], ao, hit_f],
+                k1_full, settings.tile_rows)
+            n = (nx_, ny_, nz_)
 
     # mesh objects: packet kernel per mesh; merge nearest
     n_geom = n
@@ -1356,8 +1504,23 @@ def _render_padded(static, settings: RenderSettings, params, o2, d2,
             # miss lanes need no shadow ray: zero their march budget so
             # sky tiles exit K2 instantly
             dist_eff = jnp.where(hit_f > F32(0.5), dist, F32(0.0))
-            vis = trace_rays_kernel(static, settings, lp, nparams,
-                                    p_off, l, dist_eff, soft_k)
+            scap = settings.shadow_march_cap
+            vis, sh_unres = trace_rays_kernel(static, settings, scap, lp,
+                                              nparams, p_off, l, dist_eff,
+                                              soft_k)
+            if scap:
+                def k2_full(sub):
+                    v, _ = trace_rays_kernel(
+                        static, settings, 0, lp, nparams,
+                        (sub[0], sub[1], sub[2]),
+                        (sub[3], sub[4], sub[5]), sub[6], sub[7])
+                    return [v]
+
+                vis, = _block_residual(
+                    sh_unres,
+                    [p_off[0], p_off[1], p_off[2], l[0], l[1], l[2],
+                     dist_eff, soft_k], [vis], k2_full,
+                    settings.tile_rows)
             if mesh:
                 from surfjax.kernels.mesh_tile import MAX_PACKET_TRIS, \
                     mesh_tile_kernel

@@ -38,8 +38,8 @@ def test_kernel_matches_twin_config3():
 
     (ox, oy, oz, dx, dy, dz), n = _pad_rays(
         (o[0], o[1], o[2], d[0], d[1], d[2]), settings.tile_rows)
-    t_k, obj_k, n_k, ao_k, hit_k = render_tile_kernel(
-        static, settings, params["leaf_params"], params["node_params"],
+    t_k, obj_k, n_k, ao_k, hit_k, _ = render_tile_kernel(
+        static, settings, 0, params["leaf_params"], params["node_params"],
         (ox, oy, oz), (dx, dy, dz))
     t_t, obj_t, n_t, ao_t, hit_t = scene_march_twin(
         static, settings, params["leaf_params"], params["node_params"],
@@ -106,3 +106,72 @@ def test_cone_prime_conservative():
     # the test-size 4x4 block cone is ~10x wider than at 1080p, so only
     # the bulk is asserted tight; outliers are the documented eps class
     assert np.quantile(d, 0.99) < 0.1
+
+
+def test_capped_residual_bitwise_equal():
+    """march_cap/shadow_march_cap + residual pass == uncapped, bitwise
+    (kernels/render_tile.py::_block_residual). Caps chosen so the
+    residual fast path actually engages (cap 24/12) AND so the
+    over-capacity fallback branch is exercised (cap 2: nearly every
+    block is cut off, count > capacity -> full-frame fallback)."""
+    scene, cam, settings = config3_sdf(size=64)
+    settings = settings.with_(backend="pallas", tile_rows=8,
+                              soft_shadows=True, ao=True)
+    static, params = scene.freeze()
+    params = {k: jnp.asarray(v) for k, v in params.items()}
+    o, d = _rays(cam)
+    fb0 = render_rays_pallas(static, settings, params, o, d)
+    for mc, sc in ((24, 12), (2, 2)):
+        fb1 = render_rays_pallas(
+            static, settings.with_(march_cap=mc, shadow_march_cap=sc),
+            params, o, d)
+        np.testing.assert_array_equal(np.asarray(fb0.rgb),
+                                      np.asarray(fb1.rgb))
+        np.testing.assert_array_equal(np.asarray(fb0.depth),
+                                      np.asarray(fb1.depth))
+        np.testing.assert_array_equal(np.asarray(fb0.hit),
+                                      np.asarray(fb1.hit))
+
+
+def test_many_objects_scene_scale():
+    """Scene-scale guard: ~32 objects through the pallas path (the
+    _read_params SMEM unpacking and per-object march unrolling scale
+    linearly with object count — this pins compile+run viability and
+    jnp parity at that size)."""
+    import itertools
+    from surfjax.api import Camera, Material, Plane, Scene, Sphere
+    from surfjax.core.types import RenderSettings
+
+    scene = Scene()
+    rng = np.random.RandomState(7)
+    for i, (x, y) in enumerate(itertools.product(range(6), range(5))):
+        c = (float(x - 2.5), float(y - 2.0), 4.0 + float(rng.rand()))
+        scene.add(Sphere(center=c, radius=0.3),
+                  Material.lambert((0.2 + 0.02 * i, 0.5, 0.8)),
+                  engine="sdf")
+    scene.add(Plane(normal=(0.0, 1.0, 0.0), offset=-2.5),
+              Material.lambert((0.5, 0.5, 0.5)))
+    from surfjax.api import PointLight
+    scene.add_light(PointLight(position=(3.0, 5.0, -1.0),
+                               color=(1.0, 1.0, 1.0)))
+    cam = Camera.pinhole(64, 64, 45.0, position=(0.0, 0.0, -2.0),
+                         target=(0.0, 0.0, 4.0))
+    settings = RenderSettings(shadows=True, max_steps=96)
+    static, params = scene.freeze()
+    assert len(static.ir.objects) == 31
+    params = {k: jnp.asarray(v) for k, v in params.items()}
+    o, d = _rays(cam)
+    fb_j = render_rays(static, settings, params, o, d)
+    fb_p = render_rays_pallas(static, settings.with_(tile_rows=8),
+                              params, o, d)
+    hit = np.asarray(fb_j.hit)
+    assert hit.mean() > 0.3  # spheres + floor actually cover the frame
+    np.testing.assert_array_equal(hit, np.asarray(fb_p.hit))
+    np.testing.assert_array_equal(np.asarray(fb_j.obj_id),
+                                  np.asarray(fb_p.obj_id))
+    # jnp pipeline marches the scene-min; pallas marches per object with
+    # progressive clipping — hits land at different spots inside the eps
+    # band, so shading agrees to ~1e-3, not bitwise (same class as the
+    # config3 tolerance test)
+    np.testing.assert_allclose(np.asarray(fb_j.rgb),
+                               np.asarray(fb_p.rgb), atol=1e-2)

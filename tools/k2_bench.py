@@ -114,8 +114,8 @@ def main():
     nparams = params["node_params"]
 
     # K1 once to get hit state
-    t, obj, n, ao, hit_f = rt.render_tile_kernel(
-        static, settings, lp, nparams, o, d, t0=jnp.zeros_like(o[0]))
+    t, obj, n, ao, hit_f, _ = rt.render_tile_kernel(
+        static, settings, 0, lp, nparams, o, d, t0=jnp.zeros_like(o[0]))
     t_sane = jnp.where(hit_f > F32(0.5), t, F32(0.0))
     p = tuple(o[k] + t_sane * d[k] for k in range(3))
     eps = F32(settings.shadow_eps)
@@ -132,10 +132,11 @@ def main():
 
     if os.environ.get("K2_QUALITY"):
         v_full = np.asarray(rt.trace_rays_kernel(
-            static, settings.with_(secondary_lod_iters=0), lp, nparams,
-            p_off, l, dist_eff, soft_k))
+            static, settings.with_(secondary_lod_iters=0), 0, lp, nparams,
+            p_off, l, dist_eff, soft_k)[0])
         v_lod = np.asarray(rt.trace_rays_kernel(
-            static, settings, lp, nparams, p_off, l, dist_eff, soft_k))
+            static, settings, 0, lp, nparams, p_off, l, dist_eff,
+            soft_k)[0])
         dq = np.abs(v_full - v_lod)
         print(f"vis diff vs full: mean {dq.mean():.5f} "
               f"q99 {np.quantile(dq, 0.99):.5f} max {dq.max():.5f} "
@@ -146,9 +147,9 @@ def main():
     @jax.jit
     def run(p_off, l, dist_eff, soft_k):
         def body(acc, i):
-            v = rt.trace_rays_kernel(static, settings, lp, nparams,
-                                     p_off, l,
-                                     dist_eff + F32(1e-7) * i, soft_k)
+            v, _ = rt.trace_rays_kernel(static, settings, 0, lp, nparams,
+                                        p_off, l,
+                                        dist_eff + F32(1e-7) * i, soft_k)
             return acc + v.mean(), None
         acc, _ = jax.lax.scan(body, F32(0.0),
                               jnp.arange(N_REP, dtype=jnp.float32))
