@@ -1139,6 +1139,151 @@ def trace_rays_kernel(static, settings: RenderSettings, march_cap: int,
 
 
 # ---------------------------------------------------------------------------
+# KF: the fused mesh-free frame megakernel. One pallas_call renders the
+# whole frame: per-tile ray generation from program_id (no ray arrays in
+# HBM at all), primary trace, normals, AO, per-light shadow visibility
+# and Blinn-Phong shading — the K1 -> XLA glue -> K2 -> XLA shade
+# pipeline collapses into straight-line VMEM-resident code. Scene,
+# camera, light and material scalars all ride SMEM. Exact same cores
+# (trace_core / normals_core / _ao_compute / visibility_core /
+# shade_object) as the split path, so parity is structural.
+# ---------------------------------------------------------------------------
+
+
+def _kframe_body(static, settings, n_leaves, n_nodes, intr, tx_tiles,
+                 lp_ref, np_ref, cam_ref, li_ref, mat_ref, amb_ref,
+                 t0_ref,
+                 r_ref, g_ref, b_ref, t_ref, obj_ref,
+                 nx_ref, ny_ref, nz_ref, hit_ref):
+    from surfjax.core.math import vnormalize
+    from surfjax.core.scene_compile import LIGHT_POINT
+    lp, nparams = _read_params(lp_ref, np_ref, n_leaves, n_nodes)
+    R = r_ref.shape[0]
+
+    # ray generation from the grid index (exact same arithmetic as
+    # core/camera.py::camera_ray_dirs_dyn on the edge-clamped pixel grid
+    # the XLA tile_layout builds)
+    gidx = pl.program_id(0)
+    row0 = ((gidx // tx_tiles) * R).astype(jnp.float32)
+    col0 = ((gidx % tx_tiles) * LANES).astype(jnp.float32)
+    # Mosaic iota is integer-only; widen to f32 after
+    ii = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 0).astype(
+        jnp.float32)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 1).astype(
+        jnp.float32)
+    rr = jnp.minimum(row0 + ii, F32(intr.height - 1))
+    cc = jnp.minimum(col0 + jj, F32(intr.width - 1))
+    xc = (cc + F32(0.5) - F32(intr.cx)) / F32(intr.fx)
+    yc = (rr + F32(0.5) - F32(intr.cy)) / F32(intr.fy)
+    dxd = (cam_ref[0] * xc + cam_ref[1] * yc) + cam_ref[2]
+    dyd = (cam_ref[3] * xc + cam_ref[4] * yc) + cam_ref[5]
+    dzd = (cam_ref[6] * xc + cam_ref[7] * yc) + cam_ref[8]
+    d = vnormalize((dxd, dyd, dzd))
+    zeros = jnp.zeros_like(rr)
+    o = (zeros + cam_ref[9], zeros + cam_ref[10], zeros + cam_ref[11])
+
+    t, obj, leaf, hit_f, _ = trace_core(static, settings, lp, nparams,
+                                        o, d, settings.t_min,
+                                        settings.t_max, t0=t0_ref[:])
+    t_sane = jnp.where(hit_f > F32(0.5), t, F32(0.0))
+    p = (o[0] + t_sane * d[0], o[1] + t_sane * d[1], o[2] + t_sane * d[2])
+    n = normals_core(static, settings, lp, nparams, p, obj, leaf, d)
+
+    analytic, sdf_objs, _ = _split(static)
+    if settings.ao and (analytic or sdf_objs):
+        ao = _ao_compute(static, settings, lp, nparams, sdf_objs, p, n)
+    else:
+        ao = jnp.ones_like(p[0])
+
+    eps = F32(settings.shadow_eps)
+    p_off = (p[0] + n[0] * eps, p[1] + n[1] * eps, p[2] + n[2] * eps)
+
+    light_terms = []
+    for li, kind in enumerate(static.ir.lights):
+        lrow = tuple(li_ref[li, k] for k in range(7))
+        if kind == LIGHT_POINT:
+            lvx = lrow[0] - p_off[0]
+            lvy = lrow[1] - p_off[1]
+            lvz = lrow[2] - p_off[2]
+            dist = jnp.sqrt((lvx * lvx + lvy * lvy) + lvz * lvz)
+            inv = F32(1.0) / dist
+            l = (lvx * inv, lvy * inv, lvz * inv)
+        else:
+            l = (zeros - lrow[0], zeros - lrow[1], zeros - lrow[2])
+            dist = zeros + F32(settings.t_max)
+        lcol = (lrow[3], lrow[4], lrow[5])
+        if settings.shadows:
+            radius = lrow[6]
+            soft_k = jnp.where(radius > F32(0.0), dist / radius,
+                               jnp.full_like(dist,
+                                             settings.soft_shadow_k))
+            dist_eff = jnp.where(hit_f > F32(0.5), dist, F32(0.0))
+            vis, _ = visibility_core(static, settings, lp, nparams,
+                                     p_off, l, dist_eff, soft_k=soft_k)
+        else:
+            vis = jnp.ones_like(p_off[0])
+        light_terms.append((l, lcol, vis))
+
+    v = (-d[0], -d[1], -d[2])
+    ambient = (amb_ref[0], amb_ref[1], amb_ref[2])
+    bg = settings.background
+    r = zeros + F32(bg[0])
+    g = zeros + F32(bg[1])
+    b = zeros + F32(bg[2])
+    hit_mask = hit_f > F32(0.5)
+    for i, oir in enumerate(static.ir.objects):
+        mat_row = tuple(mat_ref[oir.mat, k] for k in range(9))
+        ri, gi, bi = shade_object(mat_row, oir.shininess, ambient, ao, n,
+                                  v, light_terms)
+        sel = hit_mask & (obj == F32(float(i)))
+        r = jnp.where(sel, ri, r)
+        g = jnp.where(sel, gi, g)
+        b = jnp.where(sel, bi, b)
+
+    r_ref[:] = r
+    g_ref[:] = g
+    b_ref[:] = b
+    t_ref[:] = t_sane
+    obj_ref[:] = obj
+    nx_ref[:] = n[0]
+    ny_ref[:] = n[1]
+    nz_ref[:] = n[2]
+    hit_ref[:] = hit_f
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def frame_fused_kernel(static, settings: RenderSettings, intr,
+                       tx_tiles: int, leaf_params, node_params, cam_vec,
+                       lights, materials, ambient, t0):
+    """KF over the padded tiled pixel grid. cam_vec = [R_flat(9), pos(3)].
+
+    Inputs/outputs stay in the contiguous (rows_total, 128) tile layout
+    — a (tile_rows, 128) f32 block is one contiguous 32 KB DMA. (The
+    image-layout alternative, blocks indexed straight into an (H2, W2)
+    array, was measured 2 ms SLOWER at 1080p: every block row becomes a
+    512 B strided DMA segment.) Returns (r, g, b, t, obj, nx, ny, nz,
+    hit_f)."""
+    rows_total = t0.shape[0]
+    R = settings.tile_rows
+    grid = (rows_total // R,)
+    ir = static.ir
+    n_leaves = max(ir.n_leaves, 1)
+    n_nodes = node_params.shape[0]
+    body = functools.partial(_kframe_body, static, settings, n_leaves,
+                             n_nodes, intr, tx_tiles)
+    shp = jax.ShapeDtypeStruct((rows_total, LANES), jnp.float32)
+    smem = [pl.BlockSpec(memory_space=pltpu.SMEM) for _ in range(4)]
+    return pl.pallas_call(
+        body,
+        out_shape=(shp,) * 9,
+        grid=grid,
+        in_specs=_param_specs() + smem + _ray_specs(1, R),
+        out_specs=tuple(_ray_specs(9, R)),
+        interpret=_interpret(),
+    )(leaf_params, node_params, cam_vec, lights, materials, ambient, t0)
+
+
+# ---------------------------------------------------------------------------
 # jnp twin of the kernel algorithm (SURVEY.md §4.3)
 # ---------------------------------------------------------------------------
 
@@ -1321,6 +1466,32 @@ def render_frame_pallas(static, intr, settings: RenderSettings, params,
                   .reshape(Hc2, Wc2)[:Hc, :Wc])
         t0_full = jnp.repeat(jnp.repeat(t0_img, C, axis=0), C, axis=1)
         t0_t = tile_layout(t0_full)
+
+    # mesh-free frames take KF, the fused megakernel (ray gen + trace +
+    # AO + shadows + shading in ONE pallas pass — no ray/G-buffer HBM
+    # round trips, no XLA glue); mesh scenes and the capped-march /
+    # wavefront schedulers keep the split K1 -> merge -> K2 pipeline.
+    _, _, mesh_objs = _split(static)
+    if (not mesh_objs and settings.march_mode == "tile"
+            and not settings.march_cap and not settings.shadow_march_cap):
+        cam_vec = jnp.concatenate([R_flat.reshape(-1),
+                                   cam_pos.reshape(-1)])
+        t0_in = jnp.zeros_like(rr_t) if t0_t is None else t0_t
+        r, g, b, t, obj, nx, ny, nz, hit_f = frame_fused_kernel(
+            static, settings, intr, tx, params["leaf_params"],
+            params["node_params"], cam_vec, params["lights"],
+            params["materials"], params["ambient"], t0_in)
+        hitf = untile(hit_f)
+        return FrameBuffers(
+            rgb=jnp.stack([untile(r), untile(g), untile(b)], axis=-1),
+            depth=untile(t),
+            normal=jnp.stack([untile(nx) * hitf, untile(ny) * hitf,
+                              untile(nz) * hitf], axis=-1),
+            hit=hitf,
+            obj_id=jnp.where(hitf > F32(0.5),
+                             untile(obj).astype(jnp.int32),
+                             jnp.int32(-1)),
+        )
 
     fb = _render_padded(static, settings, params, o, d, t0=t0_t)
     return FrameBuffers(

@@ -28,7 +28,12 @@ def test_wavefront_analytic_only_scene():
     base = settings.with_(backend="pallas", tile_rows=8)
     fb_w = render(scene, cam, base.with_(march_mode="wavefront"))
     fb_t = render(scene, cam, base.with_(march_mode="tile"))
-    np.testing.assert_array_equal(np.asarray(fb_w.rgb), np.asarray(fb_t.rgb))
+    # tile mode is the fused megakernel (in-kernel ray generation); the
+    # wavefront path gets XLA-generated rays — same formulas, different
+    # fusion order, so agreement is ~1 ulp of the dir normalize rather
+    # than bitwise
+    np.testing.assert_allclose(np.asarray(fb_w.rgb), np.asarray(fb_t.rgb),
+                               atol=1e-5)
 
 
 def test_wavefront_with_soft_shadows_and_ao():
