@@ -44,6 +44,15 @@ class RenderSettings:
     # mean 2.3e-4 / q99 3.9e-3 (sub-1/255 for 99% of pixels) for -35% K2
     # time. Set 0 for bit-faithful secondary rays.
     secondary_lod_iters: int = 4
+    # AO-probe fractal LoD (pallas path only), separate from the shadow
+    # LoD because AO is a far softer signal than a penumbra edge: probes
+    # average ao_samples cosine-weighted taps into a single multiplier,
+    # so the truncated-set over-occlusion washes out. Measured on c3
+    # 1080p at the default 2: rgb diff vs full-iteration AO is mean
+    # 5.7e-5 / q99 1.1e-3 / max 5.7e-3 (sub-1.5/255 everywhere) for
+    # -1.3 ms vs AO at the shadow LoD, -3.8 ms vs full. 0 falls back to
+    # secondary_lod_iters; occlusion remains conservative (only darkens).
+    ao_lod_iters: int = 2
     # Capped-march residual scheduling (pallas tile path only; exact —
     # see kernels/render_tile.py::_block_residual): pass A bounds every
     # SDF march at march_cap steps (shadow marches at shadow_march_cap),

@@ -947,7 +947,8 @@ def _ao_compute(static, settings, lp, nparams, sdf_objs, p, n,
     else:
         p_off = (p[0] + n[0] * eps, p[1] + n[1] * eps, p[2] + n[2] * eps)
 
-    lod_fn = _lod_leaf_fn(settings)
+    cap = settings.ao_lod_iters or settings.secondary_lod_iters
+    lod_fn = _capped_leaf_fn(cap) if cap else None
 
     def compute(objs):
         fn = lambda pp: _scene_sdf(objs, lp, nparams, pp, leaf_fn=lod_fn)
