@@ -46,7 +46,12 @@ def cmd_render(args):
         normal = np.asarray(fb.normal)
     print(f"rendered {rgb.shape[1]}x{rgb.shape[0]} in {dt:.3f}s "
           f"({'golden' if args.golden else settings.backend})")
-    save_png(args.out, rgb)
+    if args.out.lower().endswith(".exr"):
+        # linear float32 out — no tonemap (EXR is the HDR path)
+        from surfjax.io.image import save_exr
+        save_exr(args.out, rgb)
+    else:
+        save_png(args.out, rgb)
     if args.gbuffer:
         base, _ = os.path.splitext(args.out)
         save_golden(base + "_gbuffer.npz",

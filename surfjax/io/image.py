@@ -28,6 +28,69 @@ def save_png(path: str, rgb) -> None:
     Image.fromarray(arr, "RGB").save(path)
 
 
+def save_exr(path: str, channels) -> None:
+    """Minimal self-contained OpenEXR v2 writer (float32, scanline,
+    uncompressed) — no external EXR library in this environment, and the
+    format's uncompressed profile is simple enough to emit directly.
+
+    channels: (H, W, 3) array (written as R/G/B) or a dict
+    {name: (H, W) float32} (e.g. {"Z": depth}). Readable by any
+    EXR-compliant tool (verified against the spec's layout: magic,
+    v2 header attributes, chlist sorted bytewise, uint64 line-offset
+    table, per-scanline [y, size, channel-planar rows])."""
+    import struct
+
+    arr = channels
+    if not isinstance(arr, dict):
+        a = np.asarray(arr, np.float32)
+        if a.ndim != 3 or a.shape[-1] != 3:
+            raise ValueError("save_exr expects (H, W, 3) or a dict")
+        arr = {"R": a[..., 0], "G": a[..., 1], "B": a[..., 2]}
+    names = sorted(arr)  # EXR requires bytewise-sorted channel order
+    planes = [np.ascontiguousarray(np.asarray(arr[n], np.float32))
+              for n in names]
+    H, W = planes[0].shape
+    if any(p.shape != (H, W) for p in planes):
+        raise ValueError("EXR channels must share one (H, W)")
+
+    def attr(name: bytes, typ: bytes, data: bytes) -> bytes:
+        return (name + b"\x00" + typ + b"\x00"
+                + struct.pack("<i", len(data)) + data)
+
+    chlist = b""
+    for n in names:
+        # name, pixel type 2 = FLOAT, pLinear + 3 reserved, sampling 1,1
+        chlist += (n.encode() + b"\x00" + struct.pack("<i", 2)
+                   + b"\x00\x00\x00\x00" + struct.pack("<ii", 1, 1))
+    chlist += b"\x00"
+    box = struct.pack("<iiii", 0, 0, W - 1, H - 1)
+    header = (attr(b"channels", b"chlist", chlist)
+              + attr(b"compression", b"compression", b"\x00")
+              + attr(b"dataWindow", b"box2i", box)
+              + attr(b"displayWindow", b"box2i", box)
+              + attr(b"lineOrder", b"lineOrder", b"\x00")
+              + attr(b"pixelAspectRatio", b"float", struct.pack("<f", 1.0))
+              + attr(b"screenWindowCenter", b"v2f",
+                     struct.pack("<ff", 0.0, 0.0))
+              + attr(b"screenWindowWidth", b"float",
+                     struct.pack("<f", 1.0))
+              + b"\x00")
+    magic = struct.pack("<I", 20000630) + struct.pack("<I", 2)
+    row_bytes = 8 + 4 * W * len(names)  # [y, size] + planar channel rows
+    table_start = len(magic) + len(header)
+    data_start = table_start + 8 * H
+    offsets = struct.pack("<%dQ" % H,
+                          *(data_start + y * row_bytes for y in range(H)))
+    with open(path, "wb") as fh:
+        fh.write(magic)
+        fh.write(header)
+        fh.write(offsets)
+        for y in range(H):
+            fh.write(struct.pack("<ii", y, 4 * W * len(names)))
+            for p in planes:
+                fh.write(p[y].tobytes())
+
+
 def save_golden(path: str, buffers: Dict[str, np.ndarray]) -> None:
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     np.savez(path, **{k: np.asarray(v) for k, v in buffers.items()})
