@@ -320,6 +320,41 @@ def _by_subtile(march, n_out, rows_per: int, o, d, *arrs):
     return tuple(jnp.concatenate(ch, axis=0) for ch in outs)
 
 
+def _bound_entry(b, o, d, t_start, t_clip, exit_margin: float):
+    """Closed-form replacement for marching a single-sphere proxy.
+
+    b = (cx, cy, cz, R) object bounding sphere. Returns (t1, clip2):
+    t1 is the exact t where the ray reaches distance _PROXY_SWITCH from
+    the bound (the same handoff surface the iterative proxy march
+    approaches, without its ~6-step while loop), clamped to t_start;
+    clip2 clips the march at the exit of the sphere inflated by
+    exit_margin — beyond it the object SDF exceeds exit_margin, so no
+    hit can register there (the caller passes a margin covering
+    hit_eps + eps_scale * t_max, making the clip value-exact). Rays
+    that miss the inflated bound entirely (or whose intersection lies
+    behind t_start) get t1 = clip2 = t_start-clamped t_clip, so the
+    march's done0 fires immediately."""
+    cx, cy, cz, R = b
+    Re_in = R + F32(_PROXY_SWITCH)
+    Re_out = R + F32(max(_PROXY_SWITCH, exit_margin))
+    wx = cx - o[0]
+    wy = cy - o[1]
+    wz = cz - o[2]
+    pb = (wx * d[0] + wy * d[1]) + wz * d[2]
+    w2 = (wx * wx + wy * wy) + wz * wz
+    disc_in = pb * pb - (w2 - Re_in * Re_in)
+    disc_out = pb * pb - (w2 - Re_out * Re_out)
+    sq_in = jnp.sqrt(jnp.maximum(disc_in, F32(0.0)))
+    sq_out = jnp.sqrt(jnp.maximum(disc_out, F32(0.0)))
+    t_in = pb - sq_in
+    t_out = pb + sq_out
+    none = (disc_out < F32(0.0)) | (t_out <= t_start)
+    t1 = jnp.maximum(t_in, t_start)
+    t1 = jnp.where(none, t_clip, t1)
+    clip2 = jnp.where(none, t_clip, jnp.minimum(t_clip, t_out))
+    return t1, clip2
+
+
 def _approach_march(fn, sw, o, d, t0, t_clip, max_steps: int):
     """March fn (a pointwise lower bound of the true scene SDF) from the
     per-lane t0 until fn < sw or t > t_clip. Hit-free: only advances t.
@@ -523,14 +558,30 @@ def trace_core(static, settings: RenderSettings, lp, nparams, o, d,
         t_clip = jnp.minimum(t_a, F32(t_max))
         t_start = (F32(t_min) * jnp.ones_like(o[0]) if t0 is None
                    else jnp.maximum(t0, F32(t_min)))
+        # the march can register a hit only while eps_eff-close to the
+        # object, i.e. inside its bound inflated by this margin — so
+        # clipping at that sphere's exit is value-exact
+        exit_margin = settings.hit_eps + settings.hit_eps_scale * float(
+            settings.t_max)
         for i, oir in order:
             sdf_i = (lambda oir=oir: lambda p: eval_sdf(
                 oir, lp, nparams, p, leaf_fn=leaf_sdf_fast))()
             proxy_i = _proxy_sdf_fn([(i, oir)], lp, nparams)
+            # a single-object proxy is always one bounding sphere, so
+            # the iterative proxy approach phase collapses to a closed
+            # form: exact handoff t plus an exit clip (see _bound_entry)
+            b_i = (_object_bound(oir, lp, nparams) if proxy_i is not None
+                   else None)
 
-            def run_march(o_s, d_s, clip_s, t0_s, sdf_i=sdf_i,
-                          proxy_i=proxy_i):
-                return _march2(proxy_i, sdf_i, o_s, d_s, t0_s, clip_s,
+            def run_march(o_s, d_s, clip_s, t0_s, sdf_i=sdf_i, b_i=b_i):
+                if b_i is not None:
+                    t1, clip2 = _bound_entry(b_i, o_s, d_s, t0_s, clip_s,
+                                             exit_margin)
+                    return _march(sdf_i, o_s, d_s, F32(0.0), clip2,
+                                  steps, settings.hit_eps, t_init=t1,
+                                  relax=settings.over_relax,
+                                  eps_scale=settings.hit_eps_scale)
+                return _march2(None, sdf_i, o_s, d_s, t0_s, clip_s,
                                steps, settings.hit_eps,
                                relax=settings.over_relax,
                                eps_scale=settings.hit_eps_scale)
@@ -796,9 +847,19 @@ def visibility_core(static, settings: RenderSettings, lp, nparams,
                 dseg = _seg_bound_dist(b, F32(eps))
                 dist_i = jnp.where(dseg > F32(settings.hit_eps), F32(0.0),
                                    dist_i)
-            t_s, hit_s, un_i = _march2(proxy_i, sdf_i, o, l, eps, dist_i,
-                                       steps, settings.hit_eps,
-                                       relax=settings.over_relax)
+                # closed-form bound entry/exit replaces the proxy phase
+                t1, clip2 = _bound_entry(b, o, l,
+                                         F32(eps) * jnp.ones_like(dist_i),
+                                         dist_i, settings.hit_eps)
+                t_s, hit_s, un_i = _march(sdf_i, o, l, F32(0.0), clip2,
+                                          steps, settings.hit_eps,
+                                          t_init=t1,
+                                          relax=settings.over_relax)
+            else:
+                t_s, hit_s, un_i = _march2(proxy_i, sdf_i, o, l, eps,
+                                           dist_i, steps,
+                                           settings.hit_eps,
+                                           relax=settings.over_relax)
             occ = (hit_s > F32(0.5)) & (t_s < dist_i)
             vis = vis * jnp.where(occ, F32(0.0), F32(1.0))
             unres = jnp.maximum(unres, un_i)

@@ -18,8 +18,11 @@ _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, _ROOT)
 
 
-def bench_scene(scene, camera, settings, lights, name, repeats=5,
-                batch=1):
+def bench_scene(scene, camera, settings, lights, name, repeats=3,
+                batch=24):
+    """Scan-dispatch timing (same methodology as bench.py): `batch`
+    slightly-jittered frames rendered in ONE lax.scan dispatch, wall
+    time divided by batch — no roundtrip subtraction term."""
     import jax
     import jax.numpy as jnp
     from surfjax.pipeline.frame import frame_step
@@ -32,33 +35,26 @@ def bench_scene(scene, camera, settings, lights, name, repeats=5,
     R = jnp.asarray(np.asarray(camera.rotation, np.float32).reshape(9))
     pos0 = np.asarray(camera.position, np.float32)
 
-    triv = jax.jit(lambda x: (x * 2).sum())
-    x = jnp.ones((8, 128))
-    float(triv(x))
-    t0 = time.perf_counter()
-    for _ in range(5):
-        float(triv(x))
-    rt = (time.perf_counter() - t0) / 5
-
     @jax.jit
-    def step(params, pos0v):
-        # `batch` slightly-jittered frames per dispatch so sub-ms configs
-        # are measurable above the dispatch roundtrip
-        def one(i):
-            fb = frame_step(static, intr, settings, params,
-                            R, pos0v + jnp.float32(1e-4) * i)
-            return fb.rgb.mean(), fb.hit.sum()
-        ms, hs = jax.lax.map(one, jnp.arange(batch, dtype=jnp.float32))
-        return ms.mean(), hs[0]
+    def run(params, positions):
+        def body(acc, pos):
+            fb = frame_step(static, intr, settings, params, R, pos)
+            return acc + fb.rgb.mean(), fb.hit.sum()
+        acc, hs = jax.lax.scan(body, jnp.float32(0.0), positions)
+        return acc, hs[0]
 
-    _, hits = step(params, jnp.asarray(pos0))
+    positions = jnp.asarray(
+        pos0[None, :] + np.float32(1e-4) * np.arange(
+            batch, dtype=np.float32)[:, None])
+    acc, hits = run(params, positions)
+    float(acc)
     hits = float(hits)
     ts = []
-    for i in range(repeats):
+    for _ in range(repeats):
         t0 = time.perf_counter()
-        float(step(params, jnp.asarray(pos0 + np.float32(1e-3) * i))[0])
+        float(run(params, positions)[0])
         ts.append(time.perf_counter() - t0)
-    dt = max((float(np.median(ts)) - rt) / batch, 1e-9)
+    dt = float(np.min(ts)) / batch
 
     primary = float(intr.width * intr.height)
     shadow = hits * lights if settings.shadows else 0.0
