@@ -8,15 +8,17 @@ reference publishes no numbers; BASELINE.md).
 Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": "Mrays/s/chip", "vs_baseline": N}
 
-Methodology: N full frames are rendered inside ONE jitted lax.scan
-dispatch (camera position varies per frame to defeat caching) and the
-wall time of that single dispatch is divided by N. Dispatch/tunnel
-overhead therefore amortizes to <1% with no subtraction term. A scalar
-reduction per frame keeps the scan carry tiny; the final float() fetch is
-the synchronization point (block_until_ready does not block through the
-axon TPU relay this host uses). Ray accounting (SURVEY.md §5.5):
-primary = H*W; shadow = one ray per (hit, light); AO = one probe ray per
-(hit, probe direction).
+Methodology: N full frames are rendered inside ONE jitted dispatch via
+the sequence path (camera position varies per frame to defeat caching)
+and the wall time of that single dispatch is divided by N — for
+mesh-free scenes this is the fused sequence kernel (one pallas call,
+F x tiles grid); otherwise a vmapped frame pipeline. Dispatch/tunnel
+overhead therefore amortizes to <1% with no subtraction term. A single
+scalar reduction over the stacked framebuffers feeds the final float()
+fetch, which is the synchronization point (block_until_ready does not
+block through the axon TPU relay this host uses). Ray accounting
+(SURVEY.md §5.5): primary = H*W; shadow = one ray per (hit, light);
+AO = one probe ray per (hit, probe direction).
 """
 
 from __future__ import annotations
@@ -40,7 +42,7 @@ def run_bench(config: str | None = None, repeats: int = 3,
     from surfjax.api import Camera
     from surfjax.config import load_config
     from surfjax.core.camera import Intrinsics
-    from surfjax.pipeline.frame import frame_step
+    from surfjax.pipeline.frame import _sequence_jit
 
     scene, camera, settings, _ = load_config(config or DEFAULT_CONFIG)
     if jax.default_backend() == "tpu":
@@ -58,15 +60,11 @@ def run_bench(config: str | None = None, repeats: int = 3,
 
     @jax.jit
     def run_scan(params, R_flat, positions):
-        def body(acc, pos):
-            fb = frame_step(static, intr, settings, params, R_flat, pos)
-            s = (fb.rgb.mean(), fb.depth.mean(), fb.hit.sum())
-            return (acc[0] + s[0], acc[1] + s[1], acc[2] + s[2]), None
-
-        acc, _ = jax.lax.scan(
-            body, (jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.0)),
-            positions)
-        return acc
+        F = positions.shape[0]
+        R_flats = jnp.broadcast_to(R_flat[None, :], (F, 9))
+        fb = _sequence_jit(static, intr, settings, params, R_flats,
+                           positions)
+        return fb.rgb.mean(), fb.depth.mean(), fb.hit.sum()
 
     R_flat = jnp.asarray(np.asarray(camera.rotation, np.float32).reshape(9))
     pos0 = np.asarray(camera.position, np.float32)

@@ -1213,6 +1213,7 @@ def trace_rays_kernel(static, settings: RenderSettings, march_cap: int,
 
 
 def _kframe_body(static, settings, n_leaves, n_nodes, intr, tx_tiles,
+                 tiles_per_frame,
                  lp_ref, np_ref, cam_ref, li_ref, mat_ref, amb_ref,
                  t0_ref,
                  r_ref, g_ref, b_ref, t_ref, obj_ref,
@@ -1224,10 +1225,13 @@ def _kframe_body(static, settings, n_leaves, n_nodes, intr, tx_tiles,
 
     # ray generation from the grid index (exact same arithmetic as
     # core/camera.py::camera_ray_dirs_dyn on the edge-clamped pixel grid
-    # the XLA tile_layout builds)
+    # the XLA tile_layout builds). The grid covers F frames x tiles;
+    # each frame reads its own camera row from SMEM.
     gidx = pl.program_id(0)
-    row0 = ((gidx // tx_tiles) * R).astype(jnp.float32)
-    col0 = ((gidx % tx_tiles) * LANES).astype(jnp.float32)
+    frame = gidx // tiles_per_frame
+    local = gidx % tiles_per_frame
+    row0 = ((local // tx_tiles) * R).astype(jnp.float32)
+    col0 = ((local % tx_tiles) * LANES).astype(jnp.float32)
     # Mosaic iota is integer-only; widen to f32 after
     ii = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 0).astype(
         jnp.float32)
@@ -1237,12 +1241,16 @@ def _kframe_body(static, settings, n_leaves, n_nodes, intr, tx_tiles,
     cc = jnp.minimum(col0 + jj, F32(intr.width - 1))
     xc = (cc + F32(0.5) - F32(intr.cx)) / F32(intr.fx)
     yc = (rr + F32(0.5) - F32(intr.cy)) / F32(intr.fy)
-    dxd = (cam_ref[0] * xc + cam_ref[1] * yc) + cam_ref[2]
-    dyd = (cam_ref[3] * xc + cam_ref[4] * yc) + cam_ref[5]
-    dzd = (cam_ref[6] * xc + cam_ref[7] * yc) + cam_ref[8]
+    dxd = (cam_ref[frame, 0] * xc + cam_ref[frame, 1] * yc) \
+        + cam_ref[frame, 2]
+    dyd = (cam_ref[frame, 3] * xc + cam_ref[frame, 4] * yc) \
+        + cam_ref[frame, 5]
+    dzd = (cam_ref[frame, 6] * xc + cam_ref[frame, 7] * yc) \
+        + cam_ref[frame, 8]
     d = vnormalize((dxd, dyd, dzd))
     zeros = jnp.zeros_like(rr)
-    o = (zeros + cam_ref[9], zeros + cam_ref[10], zeros + cam_ref[11])
+    o = (zeros + cam_ref[frame, 9], zeros + cam_ref[frame, 10],
+         zeros + cam_ref[frame, 11])
 
     t, obj, leaf, hit_f, _ = trace_core(static, settings, lp, nparams,
                                         o, d, settings.t_min,
@@ -1315,25 +1323,31 @@ def _kframe_body(static, settings, n_leaves, n_nodes, intr, tx_tiles,
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
 def frame_fused_kernel(static, settings: RenderSettings, intr,
-                       tx_tiles: int, leaf_params, node_params, cam_vec,
+                       tx_tiles: int, leaf_params, node_params, cam_rows,
                        lights, materials, ambient, t0):
-    """KF over the padded tiled pixel grid. cam_vec = [R_flat(9), pos(3)].
+    """KF over F frames x the padded tiled pixel grid, ONE pallas call.
 
-    Inputs/outputs stay in the contiguous (rows_total, 128) tile layout
-    — a (tile_rows, 128) f32 block is one contiguous 32 KB DMA. (The
-    image-layout alternative, blocks indexed straight into an (H2, W2)
-    array, was measured 2 ms SLOWER at 1080p: every block row becomes a
-    512 B strided DMA segment.) Returns (r, g, b, t, obj, nx, ny, nz,
-    hit_f)."""
-    rows_total = t0.shape[0]
+    cam_rows: (F, 12) [R_flat(9), pos(3)] per frame — the whole
+    animated-path workload (BASELINE.json:11) runs as a single grid of
+    F * tiles_per_frame steps, so per-frame dispatch/scan overhead
+    vanishes. t0: (F * rows_total, 128) primed march starts (zeros when
+    priming is off). Inputs/outputs stay in the contiguous
+    (rows, 128) tile layout — a (tile_rows, 128) f32 block is one
+    contiguous 32 KB DMA. (The image-layout alternative, blocks indexed
+    straight into an (H2, W2) array, was measured 2 ms SLOWER at 1080p:
+    every block row becomes a 512 B strided DMA segment.) Returns
+    (r, g, b, t, obj, nx, ny, nz, hit_f), each (F * rows_total, 128)."""
+    rows_all = t0.shape[0]
+    F = cam_rows.shape[0]
     R = settings.tile_rows
-    grid = (rows_total // R,)
+    grid = (rows_all // R,)
+    tiles_per_frame = (rows_all // F) // R
     ir = static.ir
     n_leaves = max(ir.n_leaves, 1)
     n_nodes = node_params.shape[0]
     body = functools.partial(_kframe_body, static, settings, n_leaves,
-                             n_nodes, intr, tx_tiles)
-    shp = jax.ShapeDtypeStruct((rows_total, LANES), jnp.float32)
+                             n_nodes, intr, tx_tiles, tiles_per_frame)
+    shp = jax.ShapeDtypeStruct((rows_all, LANES), jnp.float32)
     smem = [pl.BlockSpec(memory_space=pltpu.SMEM) for _ in range(4)]
     return pl.pallas_call(
         body,
@@ -1342,7 +1356,7 @@ def frame_fused_kernel(static, settings: RenderSettings, intr,
         in_specs=_param_specs() + smem + _ray_specs(1, R),
         out_specs=tuple(_ray_specs(9, R)),
         interpret=_interpret(),
-    )(leaf_params, node_params, cam_vec, lights, materials, ambient, t0)
+    )(leaf_params, node_params, cam_rows, lights, materials, ambient, t0)
 
 
 # ---------------------------------------------------------------------------
@@ -1533,15 +1547,13 @@ def render_frame_pallas(static, intr, settings: RenderSettings, params,
     # AO + shadows + shading in ONE pallas pass — no ray/G-buffer HBM
     # round trips, no XLA glue); mesh scenes and the capped-march /
     # wavefront schedulers keep the split K1 -> merge -> K2 pipeline.
-    _, _, mesh_objs = _split(static)
-    if (not mesh_objs and settings.march_mode == "tile"
-            and not settings.march_cap and not settings.shadow_march_cap):
-        cam_vec = jnp.concatenate([R_flat.reshape(-1),
-                                   cam_pos.reshape(-1)])
+    if fused_frame_ok(static, settings):
+        cam_rows = jnp.concatenate([R_flat.reshape(-1),
+                                    cam_pos.reshape(-1)])[None, :]
         t0_in = jnp.zeros_like(rr_t) if t0_t is None else t0_t
         r, g, b, t, obj, nx, ny, nz, hit_f = frame_fused_kernel(
             static, settings, intr, tx, params["leaf_params"],
-            params["node_params"], cam_vec, params["lights"],
+            params["node_params"], cam_rows, params["lights"],
             params["materials"], params["ambient"], t0_in)
         hitf = untile(hit_f)
         return FrameBuffers(
@@ -1566,6 +1578,59 @@ def render_frame_pallas(static, intr, settings: RenderSettings, params,
         hit=untile(fb.hit.reshape(o[0].shape)),
         obj_id=untile(fb.obj_id.astype(jnp.float32)
                       .reshape(o[0].shape)).astype(jnp.int32),
+    )
+
+
+def fused_frame_ok(static, settings: RenderSettings) -> bool:
+    """True when a frame can take KF (the fused megakernel): mesh-free
+    scene on the plain tile path. Mesh merges, wavefront scheduling and
+    the capped-march residual keep the split K1 -> K2 pipeline."""
+    _, _, mesh_objs = _split(static)
+    return (not mesh_objs and settings.march_mode == "tile"
+            and not settings.march_cap and not settings.shadow_march_cap)
+
+
+def render_sequence_pallas(static, intr, settings: RenderSettings, params,
+                           R_flats, positions) -> FrameBuffers:
+    """F-frame animated path as ONE fused pallas call (grid = F x tiles).
+
+    The TPU-native form of BASELINE.json:11's 128-frame on-device
+    sequence: per-frame cameras ride SMEM rows, so there is no per-frame
+    dispatch, scan step or XLA glue at all. Caller must check
+    fused_frame_ok (and settings.prime off — the priming pass is a
+    single-frame construct). Returns FrameBuffers stacked on a leading
+    frame axis: rgb (F, H, W, 3), depth/hit (F, H, W), ..."""
+    H, W = intr.height, intr.width
+    R = settings.tile_rows
+    H2 = ((H + R - 1) // R) * R
+    W2 = ((W + LANES - 1) // LANES) * LANES
+    ty, tx = H2 // R, W2 // LANES
+    rows_total = ty * tx * R
+    F = R_flats.shape[0]
+    cam_rows = jnp.concatenate(
+        [R_flats.reshape(F, 9), positions.reshape(F, 3)], axis=1)
+    t0 = jnp.zeros((F * rows_total, LANES), jnp.float32)
+    r, g, b, t, obj, nx, ny, nz, hit_f = frame_fused_kernel(
+        static, settings, intr, tx, params["leaf_params"],
+        params["node_params"], cam_rows, params["lights"],
+        params["materials"], params["ambient"], t0)
+
+    def untile_seq(a):
+        a = (a.reshape(F, ty, tx, R, LANES).transpose(0, 1, 3, 2, 4)
+             .reshape(F, H2, W2))
+        return a[:, :H, :W]
+
+    hitf = untile_seq(hit_f)
+    return FrameBuffers(
+        rgb=jnp.stack([untile_seq(r), untile_seq(g), untile_seq(b)],
+                      axis=-1),
+        depth=untile_seq(t),
+        normal=jnp.stack([untile_seq(nx) * hitf, untile_seq(ny) * hitf,
+                          untile_seq(nz) * hitf], axis=-1),
+        hit=hitf,
+        obj_id=jnp.where(hitf > F32(0.5),
+                         untile_seq(obj).astype(jnp.int32),
+                         jnp.int32(-1)),
     )
 
 

@@ -175,3 +175,34 @@ def test_many_objects_scene_scale():
     # config3 tolerance test)
     np.testing.assert_allclose(np.asarray(fb_j.rgb),
                                np.asarray(fb_p.rgb), atol=1e-2)
+
+
+def test_sequence_fused_matches_per_frame():
+    """The F-frame fused sequence kernel (one pallas call, F x tiles
+    grid, SMEM camera rows) vs per-frame rendering: hit masks identical,
+    shading within the vmap fusion-order class."""
+    import dataclasses
+    from surfjax.core.camera import Intrinsics
+    from surfjax.pipeline.frame import render_frame, render_sequence
+    from tests.scenes import config3_sdf
+
+    scene, cam, settings = config3_sdf(size=64)
+    cam = dataclasses.replace(cam,
+                              intrinsics=Intrinsics.from_fov(80, 48, 45.0))
+    st = settings.with_(backend="pallas", tile_rows=8, soft_shadows=True,
+                        ao=True, ao_samples=3)
+    R = np.asarray(cam.rotation, np.float32).reshape(9)
+    pos = np.asarray(cam.position, np.float32)
+    F = 3
+    R_flats = np.stack([R] * F)
+    positions = pos[None, :] + np.float32(2e-3) * np.arange(
+        F, dtype=np.float32)[:, None]
+    fb_seq = render_sequence(scene, cam, (R_flats, positions), st)
+    assert np.asarray(fb_seq.rgb).shape == (F, 48, 80, 3)
+    for f in range(F):
+        cam_f = dataclasses.replace(cam, position=tuple(positions[f]))
+        fb_f = render_frame(scene, cam_f, st)
+        np.testing.assert_array_equal(np.asarray(fb_seq.hit[f]),
+                                      np.asarray(fb_f.hit))
+        np.testing.assert_allclose(np.asarray(fb_seq.rgb[f]),
+                                   np.asarray(fb_f.rgb), atol=1e-3)
