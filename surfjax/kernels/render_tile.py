@@ -323,32 +323,30 @@ def _by_subtile(march, n_out, rows_per: int, o, d, *arrs):
 def _bound_entry(b, o, d, t_start, t_clip, exit_margin: float):
     """Closed-form replacement for marching a single-sphere proxy.
 
-    b = (cx, cy, cz, R) object bounding sphere. Returns (t1, clip2):
-    t1 is the exact t where the ray reaches distance _PROXY_SWITCH from
-    the bound (the same handoff surface the iterative proxy march
-    approaches, without its ~6-step while loop), clamped to t_start;
-    clip2 clips the march at the exit of the sphere inflated by
-    exit_margin — beyond it the object SDF exceeds exit_margin, so no
-    hit can register there (the caller passes a margin covering
-    hit_eps + eps_scale * t_max, making the clip value-exact). Rays
-    that miss the inflated bound entirely (or whose intersection lies
-    behind t_start) get t1 = clip2 = t_start-clamped t_clip, so the
-    march's done0 fires immediately."""
+    b = (cx, cy, cz, R) object bounding sphere. The sphere is inflated
+    by max(_PROXY_SWITCH, exit_margin): outside it the object SDF
+    exceeds both the proxy handoff distance and every possible hit
+    epsilon (the caller passes exit_margin >= hit_eps + eps_scale *
+    t_max), so entering at its boundary is exactly the iterative proxy
+    march's handoff — without its ~6-step while loop — and clipping at
+    its exit is value-exact (no hit can register beyond). One radius
+    serves both: using a thinner entry shell would be unsound for
+    configs whose eps_eff exceeds _PROXY_SWITCH, where an eps-fat hit
+    could exist outside the thin shell. Returns (t1, clip2); rays that
+    miss the inflated bound (or whose intersection lies behind t_start)
+    get t1 = clip2 = t_clip, so the march's done0 fires immediately."""
     cx, cy, cz, R = b
-    Re_in = R + F32(_PROXY_SWITCH)
-    Re_out = R + F32(max(_PROXY_SWITCH, exit_margin))
+    Re = R + F32(max(_PROXY_SWITCH, exit_margin))
     wx = cx - o[0]
     wy = cy - o[1]
     wz = cz - o[2]
     pb = (wx * d[0] + wy * d[1]) + wz * d[2]
     w2 = (wx * wx + wy * wy) + wz * wz
-    disc_in = pb * pb - (w2 - Re_in * Re_in)
-    disc_out = pb * pb - (w2 - Re_out * Re_out)
-    sq_in = jnp.sqrt(jnp.maximum(disc_in, F32(0.0)))
-    sq_out = jnp.sqrt(jnp.maximum(disc_out, F32(0.0)))
-    t_in = pb - sq_in
-    t_out = pb + sq_out
-    none = (disc_out < F32(0.0)) | (t_out <= t_start)
+    disc = pb * pb - (w2 - Re * Re)
+    sq = jnp.sqrt(jnp.maximum(disc, F32(0.0)))
+    t_in = pb - sq
+    t_out = pb + sq
+    none = (disc < F32(0.0)) | (t_out <= t_start)
     t1 = jnp.maximum(t_in, t_start)
     t1 = jnp.where(none, t_clip, t1)
     clip2 = jnp.where(none, t_clip, jnp.minimum(t_clip, t_out))

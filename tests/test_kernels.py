@@ -206,3 +206,35 @@ def test_sequence_fused_matches_per_frame():
                                       np.asarray(fb_f.hit))
         np.testing.assert_allclose(np.asarray(fb_seq.rgb[f]),
                                    np.asarray(fb_f.rgb), atol=1e-3)
+
+
+def test_bound_entry_eps_fat_hits():
+    """Regression for _bound_entry soundness: when eps_eff exceeds
+    _PROXY_SWITCH (fat hit epsilon), grazing rays that pass OUTSIDE the
+    thin proxy shell but inside the epsilon band must still register
+    hits at the same first-crossing t as the jnp pipeline march."""
+    from surfjax.api import Camera, Material, PointLight, Scene, Sphere
+    from surfjax.core.types import RenderSettings
+
+    scene = Scene()
+    scene.add(Sphere(center=(0.0, 0.0, 4.0), radius=1.0),
+              Material.lambert((0.8, 0.4, 0.2)), engine="sdf")
+    scene.add_light(PointLight(position=(3.0, 5.0, -1.0),
+                               color=(1.0, 1.0, 1.0)))
+    cam = Camera.pinhole(64, 64, 45.0, position=(0.0, 0.0, 0.0),
+                         target=(0.0, 0.0, 4.0))
+    st = RenderSettings(shadows=False, hit_eps=0.2, over_relax=1.0,
+                        max_steps=128)
+    static, params = scene.freeze()
+    params = {k: jnp.asarray(v) for k, v in params.items()}
+    o, d = _rays(cam)
+    fb_j = render_rays(static, st, params, o, d)
+    fb_p = render_rays_pallas(static, st.with_(tile_rows=8), params, o, d)
+    hj, hp = np.asarray(fb_j.hit), np.asarray(fb_p.hit)
+    np.testing.assert_array_equal(hj, hp)
+    assert hj.mean() > 0.05
+    both = hj > 0
+    dt = np.abs(np.asarray(fb_j.depth) - np.asarray(fb_p.depth))[both]
+    # eps-band hits: first crossing of the (fat) epsilon surface must
+    # agree; the band is 0.2 wide so demand well under that
+    assert dt.max() < 2e-2, dt.max()
