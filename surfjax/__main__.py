@@ -92,7 +92,9 @@ def cmd_animate(args):
             return np.asarray(fb.rgb)
 
         cp.render_all(n, render_chunk)
-        rgb = cp.load_all()
+        # n arms the stale-chunk contiguity validation (a previous
+        # longer run in the same out_dir must not leak extra frames)
+        rgb = cp.load_all(n)
     else:
         frames = jax.block_until_ready(
             render_sequence(scene, camera, (Rs, ts), settings))

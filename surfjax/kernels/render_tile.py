@@ -353,52 +353,6 @@ def _bound_entry(b, o, d, t_start, t_clip, exit_margin: float):
     return t1, clip2
 
 
-def _approach_march(fn, sw, o, d, t0, t_clip, max_steps: int):
-    """March fn (a pointwise lower bound of the true scene SDF) from the
-    per-lane t0 until fn < sw or t > t_clip. Hit-free: only advances t.
-    Never oversteps a surface of any SDF that fn lower-bounds."""
-    done0 = jnp.where(t0 >= t_clip, F32(1.0), F32(0.0))
-
-    def cond(s):
-        i, _, done = s
-        return (i < max_steps) & (jnp.min(done) < F32(0.5))
-
-    def body(s):
-        i, t, done = s
-        px = o[0] + t * d[0]
-        py = o[1] + t * d[1]
-        pz = o[2] + t * d[2]
-        h = fn((px, py, pz))
-        near = jnp.where(h < sw, F32(1.0), F32(0.0))
-        over = jnp.where(t > t_clip, F32(1.0), F32(0.0))
-        done_new = jnp.maximum(done, jnp.maximum(near, over))
-        t = jnp.where(done_new > F32(0.5), t, t + h)
-        return i + 1, t, done_new
-
-    _, t1, _ = jax.lax.while_loop(cond, body, (0, t0, done0))
-    return t1
-
-
-def _march2(proxy_fn, sdf_fn, o, d, t_start, t_clip, max_steps: int,
-            hit_eps: float, relax: float = 1.0, eps_scale: float = 0.0):
-    """Two-phase march: cheap proxy until near geometry, then full SDF.
-
-    The proxy is a pointwise lower bound of the scene SDF, so phase 1
-    never oversteps a true surface. Lanes hand off when proxy <
-    _PROXY_SWITCH; phase 2 is the ordinary bounded march continued from
-    the handoff t. Returns (t, hit_f, unres_f) — see _march.
-    """
-    if proxy_fn is None:
-        return _march(sdf_fn, o, d, t_start, t_clip, max_steps, hit_eps,
-                      relax=relax, eps_scale=eps_scale)
-    t1 = _approach_march(proxy_fn, F32(_PROXY_SWITCH), o, d,
-                         t_start * jnp.ones_like(o[0]), t_clip, max_steps)
-    # phase 2 from the handoff point (lanes already past t_clip finish
-    # immediately inside _march via its done0)
-    return _march(sdf_fn, o, d, F32(0.0), t_clip, max_steps, hit_eps,
-                  t_init=t1, relax=relax, eps_scale=eps_scale)
-
-
 def _prime_march(proxy_fn, sdf_fn, o, d, t_min: float, t_max: float,
                  k_m: float, steps: int):
     """Cone march: largest per-lane t_safe such that EVERY ray within
@@ -564,12 +518,10 @@ def trace_core(static, settings: RenderSettings, lp, nparams, o, d,
         for i, oir in order:
             sdf_i = (lambda oir=oir: lambda p: eval_sdf(
                 oir, lp, nparams, p, leaf_fn=leaf_sdf_fast))()
-            proxy_i = _proxy_sdf_fn([(i, oir)], lp, nparams)
-            # a single-object proxy is always one bounding sphere, so
-            # the iterative proxy approach phase collapses to a closed
-            # form: exact handoff t plus an exit clip (see _bound_entry)
-            b_i = (_object_bound(oir, lp, nparams) if proxy_i is not None
-                   else None)
+            # every boundable object gets the closed-form sphere
+            # entry/exit (see _bound_entry); unboundable ones (plane
+            # leaves) march from t_start directly
+            b_i = _object_bound(oir, lp, nparams)
 
             def run_march(o_s, d_s, clip_s, t0_s, sdf_i=sdf_i, b_i=b_i):
                 if b_i is not None:
@@ -579,10 +531,10 @@ def trace_core(static, settings: RenderSettings, lp, nparams, o, d,
                                   steps, settings.hit_eps, t_init=t1,
                                   relax=settings.over_relax,
                                   eps_scale=settings.hit_eps_scale)
-                return _march2(None, sdf_i, o_s, d_s, t0_s, clip_s,
-                               steps, settings.hit_eps,
-                               relax=settings.over_relax,
-                               eps_scale=settings.hit_eps_scale)
+                return _march(sdf_i, o_s, d_s, F32(0.0), clip_s,
+                              steps, settings.hit_eps, t_init=t0_s,
+                              relax=settings.over_relax,
+                              eps_scale=settings.hit_eps_scale)
 
             t_i, hit_i, un_i = _by_subtile(run_march, 3,
                                            settings.subtile_rows,
@@ -808,20 +760,23 @@ def visibility_core(static, settings: RenderSettings, lp, nparams,
                 continue
             sdf_i = (lambda oir=oir: lambda p: eval_sdf(
                 oir, lp, nparams, p, leaf_fn=lod_fn))()
-            proxy_i = _proxy_sdf_fn([(i, oir)], lp, nparams)
             dist_i = jnp.where(soft_vis <= F32(0.0), F32(0.0), dist)
             b = _object_bound(oir, lp, nparams)
-            t_init = None
+            tmin_s = F32(settings.soft_shadow_tmin)
             if b is not None:
                 # march only the influence window (value-exact skip)
                 t_lo, t_hi = _influence_window(b, o, l, t0, dist_i, kf)
-                t_init = t_lo
-                dist_i = jnp.minimum(dist_i, t_hi)
-            v_i, un_i = _soft_march2(proxy_i, sdf_i, o, l,
-                                     settings.soft_shadow_tmin, dist_i, k,
-                                     steps,
-                                     relax=settings.over_relax,
-                                     t_init=t_init)
+                v_i, un_i = _soft_march(sdf_i, o, l,
+                                        settings.soft_shadow_tmin,
+                                        jnp.minimum(dist_i, t_hi), k,
+                                        steps,
+                                        t_init=jnp.maximum(t_lo, tmin_s),
+                                        relax=settings.over_relax)
+            else:
+                v_i, un_i = _soft_march(sdf_i, o, l,
+                                        settings.soft_shadow_tmin,
+                                        dist_i, k, steps,
+                                        relax=settings.over_relax)
             soft_vis = jnp.minimum(soft_vis, v_i)
             unres = jnp.maximum(unres, un_i)
         return vis * soft_vis, unres
@@ -836,7 +791,6 @@ def visibility_core(static, settings: RenderSettings, lp, nparams,
         for i, oir in order:
             sdf_i = (lambda oir=oir: lambda p: eval_sdf(
                 oir, lp, nparams, p, leaf_fn=leaf_sdf_fast))()
-            proxy_i = _proxy_sdf_fn([(i, oir)], lp, nparams)
             dist_i = jnp.where(vis <= F32(0.0), F32(0.0), dist)
             b = _object_bound(oir, lp, nparams)
             if b is not None:
@@ -854,66 +808,13 @@ def visibility_core(static, settings: RenderSettings, lp, nparams,
                                           t_init=t1,
                                           relax=settings.over_relax)
             else:
-                t_s, hit_s, un_i = _march2(proxy_i, sdf_i, o, l, eps,
-                                           dist_i, steps,
-                                           settings.hit_eps,
-                                           relax=settings.over_relax)
+                t_s, hit_s, un_i = _march(sdf_i, o, l, eps, dist_i,
+                                          steps, settings.hit_eps,
+                                          relax=settings.over_relax)
             occ = (hit_s > F32(0.5)) & (t_s < dist_i)
             vis = vis * jnp.where(occ, F32(0.0), F32(1.0))
             unres = jnp.maximum(unres, un_i)
     return vis, unres
-
-
-def _soft_march2(proxy_fn, sdf_fn, o, d, t_start, t_max, k,
-                 steps: int, relax: float = 1.0, t_init=None):
-    """Two-phase penumbra march, exactly equivalent to the single-phase one.
-
-    Phase 1 marches the lower-bound proxy with the same 0.5 step cap as
-    the penumbra march and hands off when k*h_proxy/t < 2.0 (or h_proxy <
-    switch). With steps capped at 0.5, any point inside a skipped step has
-    h_true >= h_proxy(sample) - 0.5, so the margin-2.0 handoff is
-    conservative at the same sampling density the single-phase march uses;
-    the skipped region cannot contain a sampled penumbra minimum the
-    single-phase version would have recorded at comparable resolution.
-
-    t_init: per-lane march start (influence-window entry) — supersedes the
-    proxy phase, which exists to skip the same far-field region.
-    """
-    if t_init is not None:
-        return _soft_march(sdf_fn, o, d, t_start, t_max, k, steps,
-                           t_init=jnp.maximum(t_init, t_start),
-                           relax=relax)
-    if proxy_fn is None:
-        return _soft_march(sdf_fn, o, d, t_start, t_max, k, steps,
-                           relax=relax)
-    kf = k if hasattr(k, "shape") else F32(k)
-    sw = F32(_PROXY_SWITCH)
-    t0 = jnp.full_like(o[0], t_start)
-    done0 = jnp.where(t0 > t_max, F32(1.0), F32(0.0))
-
-    def cond1(s):
-        i, _, done = s
-        return (i < steps) & (jnp.min(done) < F32(0.5))
-
-    def body1(s):
-        i, t, done = s
-        px = o[0] + t * d[0]
-        py = o[1] + t * d[1]
-        pz = o[2] + t * d[2]
-        h = proxy_fn((px, py, pz))
-        near = jnp.where((kf * h / t < F32(2.0)) | (h < sw),
-                         F32(1.0), F32(0.0))
-        over = jnp.where(t > t_max, F32(1.0), F32(0.0))
-        done_new = jnp.maximum(done, jnp.maximum(near, over))
-        s_allowed = (kf * h - t) / (kf + F32(1.0))
-        cap = jnp.maximum(F32(0.5), s_allowed)
-        step = jnp.minimum(jnp.maximum(h, F32(1e-3)), cap)
-        t = jnp.where(done_new > F32(0.5), t, t + step)
-        return i + 1, t, done_new
-
-    _, t1, _ = jax.lax.while_loop(cond1, body1, (0, t0, done0))
-    return _soft_march(sdf_fn, o, d, t_start, t_max, k, steps, t_init=t1,
-                       relax=relax)
 
 
 def _soft_march(sdf_fn, o, d, t_start, t_max, k, steps: int,
@@ -985,7 +886,7 @@ def _soft_march(sdf_fn, o, d, t_start, t_max, k, steps: int,
 
 
 
-def _ao_compute(static, settings, lp, nparams, sdf_objs, p, n,
+def _ao_compute(static, settings, lp, nparams, p, n,
                 already_offset: bool = False):
     """AO probes over every non-mesh object (matching the jnp pipeline and
     golden), with an EXACT tile-level skip for bounded objects: taps lie
@@ -999,7 +900,7 @@ def _ao_compute(static, settings, lp, nparams, sdf_objs, p, n,
     already_offset: p is a pre-offset receiver (mesh hits offset along the
     geometric normal by the caller, matching golden/renderer.py)."""
     analytic, sdf_only, _ = _split(static)
-    sdf_objs = analytic + sdf_only
+    sdf_objs = analytic + sdf_only  # AO probes every non-mesh object
     eps = F32(settings.shadow_eps)
     if already_offset:
         p_off = p
@@ -1056,7 +957,7 @@ def _k1_body(static, settings, n_leaves, n_nodes, march_cap,
     # (their tapes are exact SDFs), matching golden/renderer.py and the
     # jnp pipeline's _nonmesh_scene_sdf
     if settings.ao and (analytic or sdf_objs):
-        ao = _ao_compute(static, settings, lp, nparams, sdf_objs, p, n)
+        ao = _ao_compute(static, settings, lp, nparams, p, n)
     else:
         ao = jnp.ones_like(p[0])
 
@@ -1085,7 +986,7 @@ def _ao_fix_body(static, settings, n_leaves, n_nodes,
     _, sdf_objs, _ = _split(static)
 
     def compute():
-        ao_new = _ao_compute(static, settings, lp, nparams, sdf_objs, p, n,
+        ao_new = _ao_compute(static, settings, lp, nparams, p, n,
                              already_offset=True)
         return jnp.where(need > F32(0.5), ao_new, ao_in)
 
@@ -1259,7 +1160,7 @@ def _kframe_body(static, settings, n_leaves, n_nodes, intr, tx_tiles,
 
     analytic, sdf_objs, _ = _split(static)
     if settings.ao and (analytic or sdf_objs):
-        ao = _ao_compute(static, settings, lp, nparams, sdf_objs, p, n)
+        ao = _ao_compute(static, settings, lp, nparams, p, n)
     else:
         ao = jnp.ones_like(p[0])
 
@@ -1374,7 +1275,7 @@ def scene_march_twin(static, settings: RenderSettings, leaf_params,
     n = normals_core(static, settings, lp, nparams, p, obj, leaf, d)
     analytic, sdf_objs, _ = _split(static)
     if settings.ao and (analytic or sdf_objs):
-        ao = _ao_compute(static, settings, lp, nparams, sdf_objs, p, n)
+        ao = _ao_compute(static, settings, lp, nparams, p, n)
     else:
         ao = jnp.ones_like(p[0])
     return t, obj, n, ao, hit_f
@@ -1422,8 +1323,11 @@ def _block_residual(unres, ins, outs, kernel_fn, tile_rows: int):
     NB = rows_total // BR
     cap_blocks = -(-NB // RESID_CAP_FRAC)  # ceil(NB / frac)
     M = -(-cap_blocks // tpb) * tpb        # ceil to a whole kernel tile
-    if rows_total % (BR * tpb) or NB <= M:
-        # tiny frames: the capped pass saved nothing; just run full
+    if (tile_rows % BR or rows_total % (BR * tpb) or NB <= M):
+        # tile_rows must be a whole number of blocks, or M * BR rows
+        # would not tile evenly and the residual kernel would leave
+        # uninitialized output to scatter back; tiny frames save
+        # nothing. Either way: just run full.
         return tuple(kernel_fn(ins))
     LB = BR * LANES
     mask_b = unres.reshape(NB, LB).max(axis=1)

@@ -200,7 +200,7 @@ def _finish_body(static, settings, n_leaves, n_nodes,
     analytic, _, _ = _split(static)
     if settings.ao and (analytic or sdf_objs):
         from surfjax.kernels.render_tile import _ao_compute
-        ao = _ao_compute(static, settings, lp, nparams, sdf_objs, p, n)
+        ao = _ao_compute(static, settings, lp, nparams, p, n)
     else:
         ao = jnp.ones_like(p[0])
 

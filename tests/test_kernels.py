@@ -233,8 +233,17 @@ def test_bound_entry_eps_fat_hits():
     hj, hp = np.asarray(fb_j.hit), np.asarray(fb_p.hit)
     np.testing.assert_array_equal(hj, hp)
     assert hj.mean() > 0.05
-    both = hj > 0
-    dt = np.abs(np.asarray(fb_j.depth) - np.asarray(fb_p.depth))[both]
-    # eps-band hits: first crossing of the (fat) epsilon surface must
-    # agree; the band is 0.2 wide so demand well under that
-    assert dt.max() < 2e-2, dt.max()
+    # The true invariant (what the old two-radius _bound_entry broke):
+    # every reported pallas hit point must actually lie inside the fat
+    # epsilon band — sdf(hit) < hit_eps. Sampled marches land at
+    # different t inside the band per path, so depths are only
+    # band-comparable, not equal.
+    both = hp > 0
+    dp = np.asarray(fb_p.depth)
+    ox, oy, oz = (np.asarray(c) for c in o)
+    dx, dy, dz = (np.asarray(c) for c in d)
+    px = ox + dp * dx - 0.0
+    py = oy + dp * dy - 0.0
+    pz = oz + dp * dz - 4.0
+    h_at_hit = np.sqrt(px * px + py * py + pz * pz) - 1.0
+    assert (h_at_hit[both] < st.hit_eps + 1e-4).all(), h_at_hit[both].max()
