@@ -1,8 +1,9 @@
 """March divergence statistics for the c3 workload (tool, not library).
 
-Re-runs the kernel's march algorithms (proxy phase, per-object full-SDF
-march with progressive clipping, penumbra march) in pure jnp with step
-counters, on the SAME tile layout the pallas path uses, and reports:
+Re-runs the kernel's march algorithms (closed-form bound entry/exit,
+per-object full-SDF march with progressive clipping, penumbra march) in
+pure jnp with step counters, on the SAME tile layout the pallas path
+uses, and reports:
 
   - per-lane step distribution (mean / p50 / p95 / max)
   - sum of per-TILE maxima (what the tile kernel pays)
@@ -62,29 +63,6 @@ def march_steps(sdf_fn, o, d, t_start, t_clip, max_steps, hit_eps,
         st_prev = jnp.where(done_new > F32(0.5), st_prev, ok * step)
         done = done_new
     return t, hit, steps
-
-
-def proxy_steps(proxy_fn, o, d, t_start, t_clip, max_steps, switch):
-    import jax.numpy as jnp
-    from surfjax.core.math import F32
-
-    t = t_start * jnp.ones_like(o[0])
-    done = jnp.where(t >= t_clip, F32(1.0), F32(0.0))
-    steps = jnp.zeros_like(o[0])
-    for _ in range(max_steps):
-        act = F32(1.0) - done
-        if float(jnp.max(act)) == 0.0:
-            break
-        px = o[0] + t * d[0]
-        py = o[1] + t * d[1]
-        pz = o[2] + t * d[2]
-        h = proxy_fn((px, py, pz))
-        steps = steps + act
-        near = jnp.where(h < F32(switch), F32(1.0), F32(0.0))
-        over = jnp.where(t > t_clip, F32(1.0), F32(0.0))
-        done = jnp.maximum(done, jnp.maximum(near, over))
-        t = jnp.where(done > F32(0.5), t, t + h)
-    return t, steps
 
 
 def soft_steps(sdf_fn, o, d, t_start, t_max, k, max_steps):
@@ -150,7 +128,8 @@ def main():
     from surfjax.engines.analytic import intersect_analytic
     from surfjax.engines.sdf import eval_sdf, leaf_sdf_fast
     from surfjax.kernels.render_tile import (
-        _PROXY_SWITCH, _proxy_sdf_fn, _split, LANES, normals_core,
+        _bound_entry, _object_bound, _split, LANES,
+        normals_core,
     )
 
     config = sys.argv[1] if len(sys.argv) > 1 else "configs/c3_sdf.yaml"
@@ -207,20 +186,25 @@ def main():
     order = sorted(sdf_objs, key=lambda io: len(io[1].nodes))
     t_best = t_a
     obj_best = jnp.full_like(o[0], -1.0)
+    exit_margin = settings.hit_eps + settings.hit_eps_scale * float(
+        settings.t_max)
     for i, oir in order:
         sdf_i = lambda p, oir=oir: eval_sdf(oir, lp, nparams, p,
                                             leaf_fn=leaf_sdf_fast)
-        proxy_i = _proxy_sdf_fn([(i, oir)], lp, nparams)
-        if proxy_i is not None:
-            t1, psteps = proxy_steps(proxy_i, o, d, settings.t_min, t_clip,
-                                     settings.max_steps, _PROXY_SWITCH)
-            report(f"primary obj{i} proxy", np.asarray(psteps), R)
+        # mirror the live kernel: closed-form bound entry/exit (the
+        # iterative proxy phase no longer exists in render_tile.py)
+        b_i = _object_bound(oir, lp, nparams)
+        if b_i is not None:
+            t1, clip_i = _bound_entry(
+                b_i, o, d, jnp.full_like(o[0], settings.t_min), t_clip,
+                exit_margin)
         else:
             t1 = jnp.full_like(o[0], settings.t_min)
+            clip_i = t_clip
         t_i, hit_i, msteps = march_steps(
-            sdf_i, o, d, 0.0, t_clip, settings.max_steps, settings.hit_eps,
-            relax=settings.over_relax, eps_scale=settings.hit_eps_scale,
-            t_init=t1)
+            sdf_i, o, d, 0.0, clip_i, settings.max_steps,
+            settings.hit_eps, relax=settings.over_relax,
+            eps_scale=settings.hit_eps_scale, t_init=t1)
         report(f"primary obj{i} full", np.asarray(msteps), R)
         better = (hit_i > F32(0.5)) & (t_i < t_best)
         t_best = jnp.where(better, t_i, t_best)
