@@ -82,7 +82,13 @@ def _material(d: dict) -> api.Material:
 
 
 def load_obj(path: str):
-    """Minimal OBJ loader (v / f lines, triangulates fans)."""
+    """OBJ loader (v / f lines, triangulates fans). Uses the native C++
+    parser (surfjax/native/obj_loader.cpp — memory-speed for production
+    meshes); this Python walk is the no-toolchain fallback."""
+    from surfjax.native import load_obj as native_load
+    res = native_load(path)
+    if res is not None:
+        return res
     verts, faces = [], []
     with open(path) as fh:
         for line in fh:
@@ -92,7 +98,10 @@ def load_obj(path: str):
             if parts[0] == "v":
                 verts.append([float(x) for x in parts[1:4]])
             elif parts[0] == "f":
-                idx = [int(p.split("/")[0]) - 1 for p in parts[1:]]
+                # OBJ indices are 1-based; negative = relative to the
+                # vertex count so far (matching the native parser)
+                idx = [int(p.split("/")[0]) for p in parts[1:]]
+                idx = [i - 1 if i > 0 else len(verts) + i for i in idx]
                 for k in range(1, len(idx) - 1):
                     faces.append([idx[0], idx[k], idx[k + 1]])
     return (np.asarray(verts, np.float32), np.asarray(faces, np.int32))

@@ -3,6 +3,7 @@
 Policy (SURVEY.md §2 native-code note): host-side hot paths that are loops
 in Python get real C++ equivalents. Current members:
   * grid_builder — uniform-grid CSR binning for triangle meshes
+  * obj_loader — OBJ mesh data loader (v/f records, fan triangulation)
   * ../golden/cpp — the strict-FP golden oracle
 """
 
@@ -16,40 +17,79 @@ from typing import Optional, Tuple
 import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
-_SRC = os.path.join(_HERE, "grid_builder.cpp")
-_LIB = os.path.join(_HERE, "libgridbuilder.so")
 
-_lib = None
+_libs = {}
+
+
+def _build_load(src_name: str, lib_name: str) -> Optional[ctypes.CDLL]:
+    """Build (if stale) + dlopen one native component; None if no
+    toolchain. Compiles to a per-pid temp file then os.replace()s into
+    place — rename is atomic on the same filesystem, so a concurrent
+    importer can never dlopen a partially written library."""
+    if src_name in _libs:
+        lib = _libs[src_name]
+        return lib if lib is not False else None
+    src = os.path.join(_HERE, src_name)
+    out = os.path.join(_HERE, lib_name)
+    try:
+        if (not os.path.exists(out)
+                or os.path.getmtime(out) < os.path.getmtime(src)):
+            tmp = f"{out}.{os.getpid()}.tmp"
+            subprocess.run(["g++", "-O2", "-shared", "-fPIC", "-o", tmp,
+                            src], check=True, capture_output=True)
+            os.replace(tmp, out)
+        lib = ctypes.CDLL(out)
+        _libs[src_name] = lib
+        return lib
+    except (OSError, subprocess.CalledProcessError):
+        _libs[src_name] = False  # remember; callers fall back to Python
+        return None
 
 
 def _load() -> Optional[ctypes.CDLL]:
     """Build+load the native grid builder; None if no toolchain."""
-    global _lib
-    if _lib is not None:
-        return _lib if _lib is not False else None
-    try:
-        if (not os.path.exists(_LIB)
-                or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
-            # compile to a per-pid temp file, then rename into place:
-            # rename is atomic on the same filesystem, so a concurrent
-            # importer can never dlopen a partially written library
-            tmp = f"{_LIB}.{os.getpid()}.tmp"
-            subprocess.run(["g++", "-O2", "-shared", "-fPIC", "-o", tmp,
-                            _SRC], check=True, capture_output=True)
-            os.replace(tmp, _LIB)
-        lib = ctypes.CDLL(_LIB)
+    lib = _build_load("grid_builder.cpp", "libgridbuilder.so")
+    if lib is None or hasattr(lib, "_sj_typed"):
+        return lib
+    f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    ci = ctypes.c_int
+    lib.sj_grid_count.argtypes = [f32p, i32p, ci, f32p, f32p,
+                                  ci, ci, ci, i32p]
+    lib.sj_grid_fill.argtypes = [f32p, i32p, ci, f32p, f32p,
+                                 ci, ci, ci, i32p, i32p, i32p]
+    lib._sj_typed = True
+    return lib
+
+
+def load_obj(path: str) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """OBJ (verts (V,3) f32, faces (T,3) i32) via the native loader;
+    None = no toolchain (caller falls back to the Python parser)."""
+    lib = _build_load("obj_loader.cpp", "libobjloader.so")
+    if lib is None:
+        return None
+    if not hasattr(lib, "_sj_typed"):
         f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
         i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
-        ci = ctypes.c_int
-        lib.sj_grid_count.argtypes = [f32p, i32p, ci, f32p, f32p,
-                                      ci, ci, ci, i32p]
-        lib.sj_grid_fill.argtypes = [f32p, i32p, ci, f32p, f32p,
-                                     ci, ci, ci, i32p, i32p, i32p]
-        _lib = lib
-        return lib
-    except (OSError, subprocess.CalledProcessError):
-        _lib = False  # remember the failure; fall back to Python binning
-        return None
+        i64 = ctypes.c_int64
+        lib.obj_count.argtypes = [ctypes.c_char_p,
+                                  ctypes.POINTER(i64), ctypes.POINTER(i64)]
+        lib.obj_count.restype = ctypes.c_int
+        lib.obj_load.argtypes = [ctypes.c_char_p, f32p, i32p, i64, i64]
+        lib.obj_load.restype = ctypes.c_int
+        lib._sj_typed = True
+    nv = ctypes.c_int64(0)
+    nt = ctypes.c_int64(0)
+    p = path.encode()
+    if lib.obj_count(p, ctypes.byref(nv), ctypes.byref(nt)) != 0:
+        raise FileNotFoundError(path)
+    verts = np.zeros((nv.value, 3), np.float32)
+    faces = np.zeros((nt.value, 3), np.int32)
+    rc = lib.obj_load(p, verts.reshape(-1), faces.reshape(-1),
+                      nv.value, nt.value)
+    if rc != 0:
+        raise ValueError(f"native OBJ parse failed rc={rc}: {path}")
+    return verts, faces
 
 
 def grid_bin(verts: np.ndarray, faces: np.ndarray, bb_min, cell,

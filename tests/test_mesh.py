@@ -223,3 +223,54 @@ def test_mesh_with_ao_and_soft_shadows_pallas_matches_golden():
     mesh_px = np.asarray(fb_p.obj_id) == 0
     d_ao = np.abs(np.asarray(fb_p.rgb) - np.asarray(fb_p0.rgb))[mesh_px]
     assert d_ao.max() > 1e-3, "AO has no effect on mesh hits (ao=1 bug)"
+
+
+def test_native_obj_loader_matches_python():
+    """Native C++ OBJ loader == the Python fallback parser, including
+    quads (fan triangulation), i/j/k face syntax and negative indices."""
+    import textwrap
+
+    import numpy as np
+
+    from surfjax import config as cfg
+
+    obj = textwrap.dedent("""\
+        # comment
+        v 0.0 0.0 0.0
+        v 1.0 0.0 0.0
+        v 1.0 1.0 0.5
+        v 0.0 1.0 0.0
+        v 0.5 0.5 2.0
+        f 1 2 3 4
+        f 1/1 2/2 5/3
+        f -3//1 -2//2 -1//3
+        """)
+    import tempfile, os
+    with tempfile.NamedTemporaryFile("w", suffix=".obj",
+                                     delete=False) as fh:
+        fh.write(obj)
+        path = fh.name
+    try:
+        native = cfg.load_obj(path)
+
+        # force the Python fallback by reading the body of load_obj's
+        # fallback path: re-parse with the documented line walk
+        verts, faces = [], []
+        for line in obj.splitlines():
+            parts = line.split()
+            if not parts:
+                continue
+            if parts[0] == "v":
+                verts.append([float(x) for x in parts[1:4]])
+            elif parts[0] == "f":
+                idx = [int(p.split("/")[0]) for p in parts[1:]]
+                idx = [i - 1 if i > 0 else len(verts) + i for i in idx]
+                for k in range(1, len(idx) - 1):
+                    faces.append([idx[0], idx[k], idx[k + 1]])
+        py = (np.asarray(verts, np.float32), np.asarray(faces, np.int32))
+
+        np.testing.assert_array_equal(native[0], py[0])
+        np.testing.assert_array_equal(native[1], py[1])
+        assert native[1].shape == (4, 3)  # quad -> 2 tris + 2 single tris
+    finally:
+        os.unlink(path)
