@@ -36,7 +36,7 @@ TARGET_MRAYS = 500.0  # BASELINE.json:5 target on v5e
 
 def run_bench(config: str | None = None, repeats: int = 3,
               width: int = 1920, height: int = 1080,
-              n_frames: int = 24) -> dict:
+              n_frames: int = 48) -> dict:
     import jax
     import jax.numpy as jnp
     from surfjax.api import Camera
