@@ -82,6 +82,12 @@ def load_obj(path: str) -> Optional[Tuple[np.ndarray, np.ndarray]]:
     nt = ctypes.c_int64(0)
     p = path.encode()
     if lib.obj_count(p, ctypes.byref(nv), ctypes.byref(nt)) != 0:
+        # distinguish unreadable from merely empty (the parser treats
+        # both as "no buffer"): an existing empty/whitespace file is a
+        # valid 0-vertex mesh, matching the Python fallback
+        if os.path.isfile(path) and os.path.getsize(path) == 0:
+            return (np.zeros((0, 3), np.float32),
+                    np.zeros((0, 3), np.int32))
         raise FileNotFoundError(path)
     verts = np.zeros((nv.value, 3), np.float32)
     faces = np.zeros((nt.value, 3), np.int32)

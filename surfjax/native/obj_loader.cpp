@@ -26,10 +26,14 @@ inline void skip_ws(Cursor& c) {
     while (c.p < c.end && (*c.p == ' ' || *c.p == '\t')) ++c.p;
 }
 
+// line terminators: \n, \r\n and classic-Mac bare \r all end a record
 inline void skip_line(Cursor& c) {
-    while (c.p < c.end && *c.p != '\n') ++c.p;
-    if (c.p < c.end) ++c.p;
+    while (c.p < c.end && *c.p != '\n' && *c.p != '\r') ++c.p;
+    if (c.p < c.end && *c.p == '\r') ++c.p;
+    if (c.p < c.end && *c.p == '\n') ++c.p;
 }
+
+inline bool is_eol(char ch) { return ch == '\n' || ch == '\r'; }
 
 inline bool parse_float(Cursor& c, float* out) {
     skip_ws(c);
@@ -48,8 +52,8 @@ inline bool parse_face_index(Cursor& c, long* out) {
     long v = strtol(c.p, &q, 10);
     if (q == c.p) return false;
     c.p = q;
-    while (c.p < c.end && *c.p != ' ' && *c.p != '\t' && *c.p != '\n'
-           && *c.p != '\r')
+    while (c.p < c.end && *c.p != ' ' && *c.p != '\t'
+           && !is_eol(*c.p))
         ++c.p;  // skip /uv/normal part
     *out = v;
     return true;
@@ -59,14 +63,16 @@ std::vector<char> read_file(const char* path) {
     std::vector<char> buf;
     FILE* fh = fopen(path, "rb");
     if (!fh) return buf;
-    fseek(fh, 0, SEEK_END);
+    if (fseek(fh, 0, SEEK_END) != 0) { fclose(fh); return buf; }
     long n = ftell(fh);
-    fseek(fh, 0, SEEK_SET);
+    if (n <= 0 || fseek(fh, 0, SEEK_SET) != 0) { fclose(fh); return buf; }
     buf.resize(static_cast<size_t>(n));
     if (n > 0 && fread(buf.data(), 1, static_cast<size_t>(n), fh)
         != static_cast<size_t>(n))
         buf.clear();
     fclose(fh);
+    // NUL-terminate so strtof/strtol can never scan past the buffer
+    if (!buf.empty()) buf.push_back('\0');
     return buf;
 }
 
@@ -78,18 +84,19 @@ extern "C" {
 int obj_count(const char* path, int64_t* nv, int64_t* ntri) {
     std::vector<char> buf = read_file(path);
     if (buf.empty()) return 1;
-    Cursor c{buf.data(), buf.data() + buf.size()};
+    Cursor c{buf.data(), buf.data() + buf.size() - 1};
     int64_t v = 0, t = 0;
     while (c.p < c.end) {
-        if (c.p[0] == 'v' && c.p + 1 < c.end
+        skip_ws(c);  // exporters sometimes indent records
+        if (c.p < c.end && c.p[0] == 'v' && c.p + 1 < c.end
             && (c.p[1] == ' ' || c.p[1] == '\t')) {
             ++v;
-        } else if (c.p[0] == 'f' && c.p + 1 < c.end
+        } else if (c.p < c.end && c.p[0] == 'f' && c.p + 1 < c.end
                    && (c.p[1] == ' ' || c.p[1] == '\t')) {
             Cursor f{c.p + 1, c.end};
             long idx;
             int64_t k = 0;
-            while (f.p < f.end && *f.p != '\n'
+            while (f.p < f.end && !is_eol(*f.p)
                    && parse_face_index(f, &idx))
                 ++k;
             if (k >= 3) t += k - 2;
@@ -107,11 +114,12 @@ int obj_load(const char* path, float* verts, int32_t* faces,
              int64_t nv, int64_t ntri) {
     std::vector<char> buf = read_file(path);
     if (buf.empty()) return 1;
-    Cursor c{buf.data(), buf.data() + buf.size()};
+    Cursor c{buf.data(), buf.data() + buf.size() - 1};
     int64_t v = 0, t = 0;
     std::vector<long> poly;
     while (c.p < c.end) {
-        if (c.p[0] == 'v' && c.p + 1 < c.end
+        skip_ws(c);
+        if (c.p < c.end && c.p[0] == 'v' && c.p + 1 < c.end
             && (c.p[1] == ' ' || c.p[1] == '\t')) {
             Cursor l{c.p + 1, c.end};
             float x, y, z;
@@ -123,18 +131,20 @@ int obj_load(const char* path, float* verts, int32_t* faces,
                 verts[v * 3 + 2] = z;
                 ++v;
             }
-        } else if (c.p[0] == 'f' && c.p + 1 < c.end
+        } else if (c.p < c.end && c.p[0] == 'f' && c.p + 1 < c.end
                    && (c.p[1] == ' ' || c.p[1] == '\t')) {
             Cursor l{c.p + 1, c.end};
             poly.clear();
             long idx;
-            while (l.p < l.end && *l.p != '\n' && parse_face_index(l, &idx))
+            while (l.p < l.end && !is_eol(*l.p)
+                   && parse_face_index(l, &idx))
                 // OBJ: 1-based; negative = relative to current vertex count
                 poly.push_back(idx > 0 ? idx - 1 : v + idx);
             for (size_t k = 1; k + 1 < poly.size(); ++k) {
                 if (t >= ntri) return 2;
                 long a = poly[0], b = poly[k], d = poly[k + 1];
-                if (a < 0 || b < 0 || d < 0) return 2;
+                if (a < 0 || b < 0 || d < 0
+                    || a >= nv || b >= nv || d >= nv) return 2;
                 faces[t * 3 + 0] = static_cast<int32_t>(a);
                 faces[t * 3 + 1] = static_cast<int32_t>(b);
                 faces[t * 3 + 2] = static_cast<int32_t>(d);

@@ -64,6 +64,15 @@ class SequenceCheckpointer:
                         fault_hook(start)
                     rgb = np.asarray(render_chunk(start, count))
                     np.savez(path, rgb=rgb, start=start, count=count)
+                    # a rerun with a different n_frames can re-cover this
+                    # start with a different count: the chunk FILE is
+                    # overwritten above, so any other manifest key at the
+                    # same start now points at wrong data — prune it
+                    # (otherwise load_all trips on the phantom overlap)
+                    for other in list(self.manifest["chunks"]):
+                        if other != key and \
+                                int(other.split(":")[0]) == start:
+                            del self.manifest["chunks"][other]
                     self.manifest["chunks"][key] = "done"
                     self._save_manifest()
                     paths.append(path)
@@ -87,12 +96,14 @@ class SequenceCheckpointer:
         expect = 0
         for key in keys:
             start, count = (int(v) for v in key.split(":"))
+            # stale chunks past the requested range are fine (a previous
+            # longer run) — stop BEFORE the gap check so they can't trip
+            if n_frames is not None and start >= n_frames:
+                break
             if start != expect:
                 raise ValueError(
                     f"checkpoint gap: expected chunk at frame {expect}, "
                     f"found {start} (out_dir {self.out_dir})")
-            if n_frames is not None and start >= n_frames:
-                break
             with np.load(os.path.join(self.out_dir,
                                       f"chunk_{start:06d}.npz")) as z:
                 chunks.append(z["rgb"])

@@ -289,12 +289,10 @@ def test_fused_frame_path_configs_and_lights():
     assert np.quantile(d, 0.99) < 0.12, np.quantile(d, 0.99)
     # the area-light penumbra must actually differ from the default-k
     # soft shadow (the radius plumbed through, not ignored)
-    fb_k = render_frame(scene2, cam2,
-                        st2.with_(backend="pallas", tile_rows=8))
     scene3, _, _ = config3_sdf(size=64)
     scene3.lights = [PointLight(position=(3.0, 4.0, -1.0),
                                 color=(1.0, 1.0, 1.0))]
     fb_nok = render_frame(scene3, cam2,
                           st2.with_(backend="pallas", tile_rows=8))
-    assert np.abs(np.asarray(fb_k.rgb) - np.asarray(fb_nok.rgb)).max() \
+    assert np.abs(np.asarray(fb_p2.rgb) - np.asarray(fb_nok.rgb)).max() \
         > 1e-3

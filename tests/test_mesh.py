@@ -253,21 +253,15 @@ def test_native_obj_loader_matches_python():
     try:
         native = cfg.load_obj(path)
 
-        # force the Python fallback by reading the body of load_obj's
-        # fallback path: re-parse with the documented line walk
-        verts, faces = [], []
-        for line in obj.splitlines():
-            parts = line.split()
-            if not parts:
-                continue
-            if parts[0] == "v":
-                verts.append([float(x) for x in parts[1:4]])
-            elif parts[0] == "f":
-                idx = [int(p.split("/")[0]) for p in parts[1:]]
-                idx = [i - 1 if i > 0 else len(verts) + i for i in idx]
-                for k in range(1, len(idx) - 1):
-                    faces.append([idx[0], idx[k], idx[k + 1]])
-        py = (np.asarray(verts, np.float32), np.asarray(faces, np.int32))
+        # exercise the REAL Python fallback path by disabling the
+        # native loader (restores after)
+        import surfjax.native as sn
+        orig = sn.load_obj
+        sn.load_obj = lambda p: None
+        try:
+            py = cfg.load_obj(path)
+        finally:
+            sn.load_obj = orig
 
         np.testing.assert_array_equal(native[0], py[0])
         np.testing.assert_array_equal(native[1], py[1])

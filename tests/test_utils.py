@@ -189,3 +189,24 @@ def test_exr_writer_depth_channel(tmp_path):
     z = np.arange(12, dtype=np.float32).reshape(3, 4)
     save_exr(str(tmp_path / "z.exr"), {"Z": z})
     assert (tmp_path / "z.exr").stat().st_size > 8 * 3 + 4 * 12
+
+
+def test_checkpoint_rerun_with_smaller_frame_count(tmp_path):
+    """Rerunning an animation in the same out_dir with a smaller
+    n_frames must prune the overlapping stale chunk it re-renders and
+    ignore stale chunks past the requested range (code-review r2)."""
+    import numpy as np
+
+    from surfjax.utils.checkpoint import SequenceCheckpointer
+
+    def renderer(start, count):
+        return np.full((count, 2, 2, 3), float(start), np.float32)
+
+    cp = SequenceCheckpointer(str(tmp_path), chunk_size=16)
+    cp.render_all(48, renderer)           # chunks 0:16, 16:16, 32:16
+    cp2 = SequenceCheckpointer(str(tmp_path), chunk_size=16)
+    cp2.render_all(20, renderer)          # re-covers 16 with 16:4
+    rgb = cp2.load_all(20)
+    assert rgb.shape == (20, 2, 2, 3)
+    assert (rgb[:16] == 0.0).all() and (rgb[16:] == 16.0).all()
+    assert "16:16" not in cp2.manifest["chunks"]
