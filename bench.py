@@ -8,6 +8,24 @@ reference publishes no numbers; BASELINE.md).
 Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": "Mrays/s/chip", "vs_baseline": N}
 
+THE metric workload (pinned — see BASELINE.md "Metric workload"):
+configs/c3_sdf.yaml reframed to 1920x1080 at the config camera (same fov).
+
+Two fidelity modes are measured and reported every run:
+  value        — the config's settings as-is (secondary-ray fractal LoD
+                 default-on: shadow marches truncate the Mandelbulb DE at
+                 secondary_lod_iters, AO probes at ao_lod_iters; measured
+                 error bounds in core/types.py — conservative darkening,
+                 q99 visibility diff 3.9e-3).
+  value_exact  — both LoDs forced to 0: every secondary march evaluates
+                 the full DE, the mode whose output is tolerance-true to
+                 the golden oracles at default settings.
+The mode parameters (secondary_lod_iters / ao_lod_iters / over_relax) are
+disclosed in the JSON so the headline number is never ambiguous about
+what it measured. mrays_primary_shadow excludes AO probes (the cheapest
+ray class, ~68% of the all-rays count) for an at-a-glance composition
+check.
+
 Methodology: N full frames are rendered inside ONE jitted dispatch via
 the sequence path (camera position varies per frame to defeat caching)
 and the wall time of that single dispatch is divided by N — for
@@ -34,6 +52,36 @@ DEFAULT_CONFIG = "configs/c3_sdf.yaml"
 TARGET_MRAYS = 500.0  # BASELINE.json:5 target on v5e
 
 
+def _time_mode(static, intr, settings, params, R_flat, positions,
+               repeats: int):
+    """-> (seconds per frame, hits per frame) for one settings variant."""
+    import jax
+    import jax.numpy as jnp
+    from surfjax.pipeline.frame import _sequence_jit
+
+    n_frames = positions.shape[0]
+
+    @jax.jit
+    def run_scan(params, R_flat, positions):
+        F = positions.shape[0]
+        R_flats = jnp.broadcast_to(R_flat[None, :], (F, 9))
+        fb = _sequence_jit(static, intr, settings, params, R_flats,
+                          positions)
+        return fb.rgb.mean(), fb.depth.mean(), fb.hit.sum()
+
+    # warm-up / compile
+    acc = run_scan(params, R_flat, positions)
+    n_hits = float(acc[2]) / n_frames
+
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        acc = run_scan(params, R_flat, positions)
+        float(acc[0])  # scalar fetch = sync point through the relay
+        times.append(time.perf_counter() - t0)
+    return float(np.min(times)) / n_frames, n_hits
+
+
 def run_bench(config: str | None = None, repeats: int = 3,
               width: int = 1920, height: int = 1080,
               n_frames: int = 48) -> dict:
@@ -42,7 +90,6 @@ def run_bench(config: str | None = None, repeats: int = 3,
     from surfjax.api import Camera
     from surfjax.config import load_config
     from surfjax.core.camera import Intrinsics
-    from surfjax.pipeline.frame import _sequence_jit
 
     scene, camera, settings, _ = load_config(config or DEFAULT_CONFIG)
     if jax.default_backend() == "tpu":
@@ -58,14 +105,6 @@ def run_bench(config: str | None = None, repeats: int = 3,
     params = {k: jnp.asarray(v) for k, v in params.items()}
     intr = camera.intrinsics
 
-    @jax.jit
-    def run_scan(params, R_flat, positions):
-        F = positions.shape[0]
-        R_flats = jnp.broadcast_to(R_flat[None, :], (F, 9))
-        fb = _sequence_jit(static, intr, settings, params, R_flats,
-                           positions)
-        return fb.rgb.mean(), fb.depth.mean(), fb.hit.sum()
-
     R_flat = jnp.asarray(np.asarray(camera.rotation, np.float32).reshape(9))
     pos0 = np.asarray(camera.position, np.float32)
     # vary camera position per frame (sub-pixel jitter: same workload,
@@ -74,17 +113,11 @@ def run_bench(config: str | None = None, repeats: int = 3,
         pos0[None, :] + np.float32(1e-4) * np.arange(
             n_frames, dtype=np.float32)[:, None])
 
-    # warm-up / compile
-    acc = run_scan(params, R_flat, positions)
-    n_hits = float(acc[2]) / n_frames
-
-    times = []
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        acc = run_scan(params, R_flat, positions)
-        float(acc[0])  # scalar fetch = sync point through the relay
-        times.append(time.perf_counter() - t0)
-    dt = float(np.min(times)) / n_frames
+    dt, n_hits = _time_mode(static, intr, settings, params, R_flat,
+                            positions, repeats)
+    exact = settings.with_(secondary_lod_iters=0, ao_lod_iters=0)
+    dt_exact, _ = _time_mode(static, intr, exact, params, R_flat,
+                             positions, repeats)
 
     n_lights = len(scene.lights)
     primary = float(width * height)
@@ -93,6 +126,7 @@ def run_bench(config: str | None = None, repeats: int = 3,
     rays_per_frame = primary + shadow + ao
 
     mrays = rays_per_frame / dt / 1e6
+    mrays_exact = rays_per_frame / dt_exact / 1e6
     n_dev = jax.local_device_count()
     return {
         "metric": ("Mrays/sec/chip at 1080p (256-step trace); "
@@ -100,12 +134,27 @@ def run_bench(config: str | None = None, repeats: int = 3,
         "value": round(mrays, 3),
         "unit": "Mrays/s/chip",
         "vs_baseline": round(mrays / TARGET_MRAYS, 4),
+        # exact fidelity mode: secondary_lod_iters=0, ao_lod_iters=0
+        # (full-DE secondary rays — the settings whose output is the
+        # golden-tolerance-true one; see module docstring)
+        "value_exact": round(mrays_exact, 3),
+        "vs_baseline_exact": round(mrays_exact / TARGET_MRAYS, 4),
+        # composition check: the metric without AO probes (one 4-tap
+        # probe per direction is far cheaper than a 256-step trace)
+        "mrays_primary_shadow": round((primary + shadow) / dt / 1e6, 3),
+        "mrays_primary_shadow_exact": round(
+            (primary + shadow) / dt_exact / 1e6, 3),
+        # fidelity-mode disclosure for the headline `value`
+        "secondary_lod_iters": settings.secondary_lod_iters,
+        "ao_lod_iters": settings.ao_lod_iters,
+        "over_relax": settings.over_relax,
         "frames_per_sec": round(1.0 / dt, 4),
         "rays_per_frame": int(rays_per_frame),
         "primary_rays": int(primary),
         "shadow_rays": int(shadow),
         "ao_rays": int(ao),
         "frame_time_s": round(dt, 5),
+        "frame_time_exact_s": round(dt_exact, 5),
         "frames_per_dispatch": n_frames,
         "backend": jax.default_backend(),
         "devices": n_dev,

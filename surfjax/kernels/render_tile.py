@@ -228,7 +228,8 @@ def _proxy_sdf_fn(sdf_objs, lp, nparams):
 
 
 def _march(sdf_fn, o, d, t_start, t_clip, max_steps: int, hit_eps: float,
-           t_init=None, relax: float = 1.0, eps_scale: float = 0.0):
+           t_init=None, relax: float = 1.0, eps_scale: float = 0.0,
+           park=None):
     """Bounded scene march with per-tile early exit. f32 mask carries.
 
     Returns (t, hit_f, unres_f): hit_f is a 0/1 f32 hit mask; unres_f
@@ -243,6 +244,17 @@ def _march(sdf_fn, o, d, t_start, t_clip, max_steps: int, hit_eps: float,
     non-overlapping safety spheres (st_prev > h_prev + |h|), retreat to the
     conservative point and continue unrelaxed for one step — no surface can
     be missed.
+
+    park: optional (x, y, z) scalars — DONE lanes evaluate the SDF at
+    this fixed far point instead of their frozen hit/clip position. A
+    done lane's h flows into nothing (hit/done/t/h_prev/st_prev are all
+    frozen by the done mask), so this is bitwise value-exact — but for
+    iterated-DE leaves (Mandelbulb) it is the difference between the
+    lane-escaping while-DE running 0 iterations vs the FULL count every
+    remaining trip: a lane parked AT its hit point sits on the prisoner
+    set and never escapes, pinning the whole tile's DE loop at max
+    iterations for the rest of the march (asserted bitwise in
+    tests/test_kernels.py::test_park_point_value_exact).
     """
     eps = F32(hit_eps)
     w = F32(relax)
@@ -259,6 +271,11 @@ def _march(sdf_fn, o, d, t_start, t_clip, max_steps: int, hit_eps: float,
         px = o[0] + t * d[0]
         py = o[1] + t * d[1]
         pz = o[2] + t * d[2]
+        if park is not None:
+            parked = done > F32(0.5)
+            px = jnp.where(parked, park[0], px)
+            py = jnp.where(parked, park[1], py)
+            pz = jnp.where(parked, park[2], pz)
         h = sdf_fn((px, py, pz))
         if relax > 1.0:
             ovr = jnp.where(st_prev > h_prev + jnp.abs(h),
@@ -299,6 +316,29 @@ def _march(sdf_fn, o, d, t_start, t_clip, max_steps: int, hit_eps: float,
 
 _PROXY_SWITCH = 0.08  # hand off to the full SDF within this proxy distance
 MARCH_UNROLL = 1      # full-SDF march substeps per while trip (eval-bound)
+
+
+def _park_point(oir, lp):
+    """Far evaluation point for DONE lanes of a march over this object
+    (see _march's `park`), or None when the object has no iterated-DE
+    leaf (parking only pays for while-loop DEs).
+
+    The point must escape EVERY Mandelbulb leaf's iteration at trip 0:
+    m0 > bailout2 = 16*bailout^2, i.e. canonical radius > 4*bailout.
+    p = (max_i(cx_i + s_i*(4*b_i + 2)), 0, 0) gives per-leaf
+    |p - c_i| >= px - cx_i >= s_i*(4*b_i + 2), so canonical radius
+    >= 4*b_i + 2 > 4*b_i for every bulb leaf i."""
+    from surfjax.core.scene_compile import LEAF_MANDELBULB
+    px = None
+    for lf in oir.leaves:
+        if lf.kind != LEAF_MANDELBULB:
+            continue
+        prm = lp[lf.slot]
+        cand = prm[0] + prm[3] * (F32(4.0) * prm[4] + F32(2.0))
+        px = cand if px is None else jnp.maximum(px, cand)
+    if px is None:
+        return None
+    return (px, F32(0.0), F32(0.0))
 
 
 def _by_subtile(march, n_out, rows_per: int, o, d, *arrs):
@@ -512,9 +552,11 @@ def trace_core(static, settings: RenderSettings, lp, nparams, o, d,
                    else jnp.maximum(t0, F32(t_min)))
         # the march can register a hit only while eps_eff-close to the
         # object, i.e. inside its bound inflated by this margin — so
-        # clipping at that sphere's exit is value-exact
+        # clipping at that sphere's exit is value-exact. Derived from the
+        # ACTUAL clip distance (the t_max argument), not settings.t_max,
+        # so the soundness invariant holds for any caller-passed range.
         exit_margin = settings.hit_eps + settings.hit_eps_scale * float(
-            settings.t_max)
+            max(t_max, settings.t_max))
         for i, oir in order:
             sdf_i = (lambda oir=oir: lambda p: eval_sdf(
                 oir, lp, nparams, p, leaf_fn=leaf_sdf_fast))()
@@ -522,19 +564,23 @@ def trace_core(static, settings: RenderSettings, lp, nparams, o, d,
             # entry/exit (see _bound_entry); unboundable ones (plane
             # leaves) march from t_start directly
             b_i = _object_bound(oir, lp, nparams)
+            park_i = _park_point(oir, lp)
 
-            def run_march(o_s, d_s, clip_s, t0_s, sdf_i=sdf_i, b_i=b_i):
+            def run_march(o_s, d_s, clip_s, t0_s, sdf_i=sdf_i, b_i=b_i,
+                          park_i=park_i):
                 if b_i is not None:
                     t1, clip2 = _bound_entry(b_i, o_s, d_s, t0_s, clip_s,
                                              exit_margin)
                     return _march(sdf_i, o_s, d_s, F32(0.0), clip2,
                                   steps, settings.hit_eps, t_init=t1,
                                   relax=settings.over_relax,
-                                  eps_scale=settings.hit_eps_scale)
+                                  eps_scale=settings.hit_eps_scale,
+                                  park=park_i)
                 return _march(sdf_i, o_s, d_s, F32(0.0), clip_s,
                               steps, settings.hit_eps, t_init=t0_s,
                               relax=settings.over_relax,
-                              eps_scale=settings.hit_eps_scale)
+                              eps_scale=settings.hit_eps_scale,
+                              park=park_i)
 
             t_i, hit_i, un_i = _by_subtile(run_march, 3,
                                            settings.subtile_rows,
@@ -762,6 +808,7 @@ def visibility_core(static, settings: RenderSettings, lp, nparams,
                 oir, lp, nparams, p, leaf_fn=lod_fn))()
             dist_i = jnp.where(soft_vis <= F32(0.0), F32(0.0), dist)
             b = _object_bound(oir, lp, nparams)
+            park_i = _park_point(oir, lp)
             tmin_s = F32(settings.soft_shadow_tmin)
             if b is not None:
                 # march only the influence window (value-exact skip)
@@ -771,12 +818,14 @@ def visibility_core(static, settings: RenderSettings, lp, nparams,
                                         jnp.minimum(dist_i, t_hi), k,
                                         steps,
                                         t_init=jnp.maximum(t_lo, tmin_s),
-                                        relax=settings.over_relax)
+                                        relax=settings.over_relax,
+                                        park=park_i)
             else:
                 v_i, un_i = _soft_march(sdf_i, o, l,
                                         settings.soft_shadow_tmin,
                                         dist_i, k, steps,
-                                        relax=settings.over_relax)
+                                        relax=settings.over_relax,
+                                        park=park_i)
             soft_vis = jnp.minimum(soft_vis, v_i)
             unres = jnp.maximum(unres, un_i)
         return vis * soft_vis, unres
@@ -793,6 +842,7 @@ def visibility_core(static, settings: RenderSettings, lp, nparams,
                 oir, lp, nparams, p, leaf_fn=leaf_sdf_fast))()
             dist_i = jnp.where(vis <= F32(0.0), F32(0.0), dist)
             b = _object_bound(oir, lp, nparams)
+            park_i = _park_point(oir, lp)
             if b is not None:
                 # segment clears the bound by more than the hit epsilon:
                 # the march cannot register an occlusion (h >= dseg)
@@ -806,11 +856,13 @@ def visibility_core(static, settings: RenderSettings, lp, nparams,
                 t_s, hit_s, un_i = _march(sdf_i, o, l, F32(0.0), clip2,
                                           steps, settings.hit_eps,
                                           t_init=t1,
-                                          relax=settings.over_relax)
+                                          relax=settings.over_relax,
+                                          park=park_i)
             else:
                 t_s, hit_s, un_i = _march(sdf_i, o, l, eps, dist_i,
                                           steps, settings.hit_eps,
-                                          relax=settings.over_relax)
+                                          relax=settings.over_relax,
+                                          park=park_i)
             occ = (hit_s > F32(0.5)) & (t_s < dist_i)
             vis = vis * jnp.where(occ, F32(0.0), F32(1.0))
             unres = jnp.maximum(unres, un_i)
@@ -818,12 +870,13 @@ def visibility_core(static, settings: RenderSettings, lp, nparams,
 
 
 def _soft_march(sdf_fn, o, d, t_start, t_max, k, steps: int,
-                t_init=None, relax: float = 1.0):
+                t_init=None, relax: float = 1.0, park=None):
     """Penumbra march. relax > 1 over-relaxes exactly like the primary
     march (_march): step by relax*step; if consecutive safety spheres no
     longer overlap (st_prev > h_prev + |h|), retreat to the conservative
-    point and re-march unrelaxed for one step, so no occluder (or penumbra
-    minimum narrower than a safety sphere) can be stepped over. Every
+    point (t - st_prev) + h_prev and resume relaxed stepping from there —
+    the retreat point lies ON the previous safety sphere, so no occluder
+    (or penumbra minimum narrower than a safety sphere) is skipped. Every
     evaluated sample is a true SDF value, so accumulating it into res is
     always sound — including at overshot positions."""
     kf = k if hasattr(k, "shape") else F32(k)
@@ -842,6 +895,15 @@ def _soft_march(sdf_fn, o, d, t_start, t_max, k, steps: int,
         px = o[0] + t * d[0]
         py = o[1] + t * d[1]
         pz = o[2] + t * d[2]
+        if park is not None:
+            # done lanes evaluate at the far park point (value-exact:
+            # their res/t/h_prev/st_prev are frozen by the done mask) so
+            # a lane stopped at the darkness floor — h ~ 0, ON the set —
+            # cannot pin the while-DE at full iterations (see _march)
+            parked = done > F32(0.5)
+            px = jnp.where(parked, park[0], px)
+            py = jnp.where(parked, park[1], py)
+            pz = jnp.where(parked, park[2], pz)
         h = sdf_fn((px, py, pz))
         if relax > 1.0:
             ovr = jnp.where(st_prev > h_prev + jnp.abs(h),

@@ -90,7 +90,14 @@ int obj_count(const char* path, int64_t* nv, int64_t* ntri) {
         skip_ws(c);  // exporters sometimes indent records
         if (c.p < c.end && c.p[0] == 'v' && c.p + 1 < c.end
             && (c.p[1] == ' ' || c.p[1] == '\t')) {
-            ++v;
+            // same three-float parse check as obj_load so a malformed
+            // vertex line (e.g. "v 1 2") is skipped by BOTH passes and
+            // the counts stay in agreement
+            Cursor l{c.p + 1, c.end};
+            float x, y, z;
+            if (parse_float(l, &x) && parse_float(l, &y)
+                && parse_float(l, &z))
+                ++v;
         } else if (c.p < c.end && c.p[0] == 'f' && c.p + 1 < c.end
                    && (c.p[1] == ' ' || c.p[1] == '\t')) {
             Cursor f{c.p + 1, c.end};

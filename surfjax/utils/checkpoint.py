@@ -101,6 +101,10 @@ class SequenceCheckpointer:
             if n_frames is not None and start >= n_frames:
                 break
             if start != expect:
+                if n_frames is None:
+                    # no explicit range: return the contiguous prefix (a
+                    # stale chunk beyond a gap is a leftover, not an error)
+                    break
                 raise ValueError(
                     f"checkpoint gap: expected chunk at frame {expect}, "
                     f"found {start} (out_dir {self.out_dir})")

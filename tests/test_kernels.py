@@ -296,3 +296,69 @@ def test_fused_frame_path_configs_and_lights():
                           st2.with_(backend="pallas", tile_rows=8))
     assert np.abs(np.asarray(fb_p2.rgb) - np.asarray(fb_nok.rgb)).max() \
         > 1e-3
+
+
+def test_park_point_value_exact():
+    """Parking DONE lanes at a far point (render_tile._march `park`) must
+    be bitwise invisible in every march output: a done lane's h flows
+    into nothing, so park vs no-park outputs are identical, while the
+    parked lane stops pinning the while-DE at full iterations."""
+    from surfjax.core.math import F32
+    from surfjax.kernels.render_tile import (
+        _bound_entry, _march, _object_bound, _park_point, _soft_march,
+        _split,
+    )
+
+    scene, cam, settings = config3_sdf(size=32)
+    static, params = scene.freeze()
+    lp = jnp.asarray(params["leaf_params"])
+    nparams = jnp.asarray(params["node_params"])
+    _, sdf_objs, _ = _split(static)
+    # the Mandelbulb object (single fractal leaf)
+    bulb = next(oir for _, oir in sdf_objs
+                if any(lf.kind == 3 for lf in oir.leaves))
+    from surfjax.engines.sdf import eval_sdf, leaf_sdf_fast
+    sdf_i = lambda p: eval_sdf(bulb, lp, nparams, p,
+                               leaf_fn=leaf_sdf_fast)
+    park = _park_point(bulb, lp)
+    assert park is not None
+    # mixed hit/miss/grazing rays toward the bulb (center (1,0,3), s=.9)
+    rng = np.random.default_rng(7)
+    n = 256
+    o = tuple(jnp.asarray(np.full(n, v, np.float32))
+              for v in (0.0, 0.4, 0.0))
+    tx = rng.uniform(0.0, 2.0, n).astype(np.float32)
+    ty = rng.uniform(-1.2, 1.2, n).astype(np.float32)
+    tz = np.full(n, 3.0, np.float32)
+    dn = np.stack([tx - 0.0, ty - 0.4, tz - 0.0])
+    dn /= np.sqrt((dn * dn).sum(0))
+    d = tuple(jnp.asarray(dn[i]) for i in range(3))
+
+    b = _object_bound(bulb, lp, nparams)
+    t_start = jnp.zeros(n, jnp.float32)
+    clip = jnp.full(n, np.float32(settings.t_max))
+    t1, clip2 = _bound_entry(b, o, d, t_start, clip, 1e-3)
+    ref = _march(sdf_i, o, d, F32(0.0), clip2, 128, settings.hit_eps,
+                 t_init=t1, relax=settings.over_relax, park=None)
+    got = _march(sdf_i, o, d, F32(0.0), clip2, 128, settings.hit_eps,
+                 t_init=t1, relax=settings.over_relax, park=park)
+    for a, b_ in zip(ref, got):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+    assert float(ref[1].sum()) > 0  # some rays hit (done lanes existed)
+
+    # soft march: shadow-style rays from floor points toward the light
+    ox = rng.uniform(0.0, 2.0, n).astype(np.float32)
+    oz = rng.uniform(2.0, 4.0, n).astype(np.float32)
+    o2 = (jnp.asarray(ox), jnp.asarray(np.full(n, -1.0, np.float32)),
+          jnp.asarray(oz))
+    ln = np.stack([3.0 - ox, np.full(n, 5.0, np.float32), -1.0 - oz])
+    dist = np.sqrt((ln * ln).sum(0)).astype(np.float32)
+    ln /= dist
+    l = tuple(jnp.asarray(ln[i]) for i in range(3))
+    ref_s = _soft_march(sdf_i, o2, l, 0.02, jnp.asarray(dist), F32(8.0),
+                        64, relax=settings.over_relax, park=None)
+    got_s = _soft_march(sdf_i, o2, l, 0.02, jnp.asarray(dist), F32(8.0),
+                        64, relax=settings.over_relax, park=park)
+    for a, b_ in zip(ref_s, got_s):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+    assert float(np.asarray(ref_s[0]).min()) < 0.9  # darkening occurred

@@ -210,3 +210,9 @@ def test_checkpoint_rerun_with_smaller_frame_count(tmp_path):
     assert rgb.shape == (20, 2, 2, 3)
     assert (rgb[:16] == 0.0).all() and (rgb[16:] == 16.0).all()
     assert "16:16" not in cp2.manifest["chunks"]
+    # load_all(None) returns the contiguous prefix even when a stale
+    # chunk (32:16 from the longer run) sits past the 20-frame gap
+    # (advisor r2: used to raise at the gap)
+    rgb_pfx = cp2.load_all()
+    assert rgb_pfx.shape == (20, 2, 2, 3)
+    assert (rgb_pfx == rgb).all()

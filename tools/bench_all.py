@@ -86,11 +86,33 @@ def main():
                                batch=32))
     s3 = config3_sdf(1024)
     results.append(bench_scene(s3[0], s3[1], s3[2], 1, "c3 sdf 1024^2"))
-    # c3 at the metric resolution
+    # the FIXTURE camera at the metric resolution — NOT the headline
+    # workload (BASELINE.md "Metric workload"): it frames the scene
+    # differently and reads ~35% lower than the config camera
     sc, cam, st = config3_sdf(1024)
     cam = Camera(Intrinsics.from_fov(1920, 1080, 45.0),
                  rotation=cam.rotation, position=cam.position)
-    results.append(bench_scene(sc, cam, st, 1, "c3 sdf 1080p"))
+    results.append(bench_scene(sc, cam, st, 1, "c3 FIXTURE-cam 1080p"))
+    # THE metric workload (configs/c3_sdf.yaml camera reframed to 1080p,
+    # fused sequence path) — same numbers as bench.py
+    from bench import run_bench
+    hb = run_bench()
+    results.append({
+        "config": "c3 METRIC (bench.py)",
+        "resolution": [1920, 1080],
+        "frame_ms": round(hb["frame_time_s"] * 1000, 2),
+        "fps": hb["frames_per_sec"],
+        "mrays_per_s": hb["value"],
+        "rays_per_frame": hb["rays_per_frame"],
+    })
+    results.append({
+        "config": "c3 METRIC exact-LoD0",
+        "resolution": [1920, 1080],
+        "frame_ms": round(hb["frame_time_exact_s"] * 1000, 2),
+        "fps": round(1.0 / hb["frame_time_exact_s"], 2),
+        "mrays_per_s": hb["value_exact"],
+        "rays_per_frame": hb["rays_per_frame"],
+    })
     s4 = config4_mesh(1920, 1080)
     results.append(bench_scene(s4[0], s4[1], s4[2], 1, "c4 mesh 1080p"))
 

@@ -34,28 +34,38 @@ def main():
         return 0
 
     result = run_bench(config=args.config)
-    value = result["value"]
 
-    best = None
+    # both fidelity modes gate independently (see bench.py: `value` is
+    # the LoD-default headline, `value_exact` the full-DE mode)
+    best = {"value": None, "value_exact": None}
     if os.path.exists(HIST):
         with open(HIST) as fh:
             for line in fh:
                 rec = json.loads(line)
-                if best is None or rec["value"] > best:
-                    best = rec["value"]
+                for key in best:
+                    v = rec.get(key)
+                    if v is not None and (best[key] is None
+                                          or v > best[key]):
+                        best[key] = v
 
     os.makedirs(os.path.dirname(HIST), exist_ok=True)
     with open(HIST, "a") as fh:
         fh.write(json.dumps(result) + "\n")
 
     print(json.dumps(result))
-    if best is not None and not args.record_only:
-        if value < best * (1.0 - args.threshold):
-            print(f"PERF REGRESSION: {value} < {best} * "
-                  f"(1 - {args.threshold})", file=sys.stderr)
-            return 1
-        print(f"perf ok: {value} vs best {best}")
-    return 0
+    rc = 0
+    if not args.record_only:
+        for key, b in best.items():
+            v = result.get(key)
+            if b is None or v is None:
+                continue
+            if v < b * (1.0 - args.threshold):
+                print(f"PERF REGRESSION [{key}]: {v} < {b} * "
+                      f"(1 - {args.threshold})", file=sys.stderr)
+                rc = 1
+            else:
+                print(f"perf ok [{key}]: {v} vs best {b}")
+    return rc
 
 
 if __name__ == "__main__":
