@@ -70,8 +70,6 @@ class RenderSettings:
     background: Tuple[float, float, float] = (0.0, 0.0, 0.0)
     # kernel/backend selection: "jnp" (pure jax.numpy twin) | "pallas"
     backend: str = "jnp"
-    # pallas march scheduling: "wavefront" (compacted rounds) | "tile"
-    march_mode: str = "tile"
     # Pallas tiling: rays per tile block = tile_rows * 128
     tile_rows: int = 64
     subtile_rows: int = 0         # per-(N,128) sub-block march loops (0=off)

@@ -144,9 +144,33 @@ def _lod_leaf_fn(settings):
 
 _BOUNDED_KINDS = None  # set lazily to avoid import cycle
 
+# Bulb bounding-radius factors (canonical units, x leaf scale). TWO
+# constants because the two gating families need DIFFERENT properties:
+#
+#   COVER (march entry/exit, hard-shadow segment skip): the hit region
+#   {DE_it < e} must lie inside the sphere for every runtime eps e and
+#   iteration count. Validated: {DE_8 < 0.05} has max radius ~1.25
+#   (tools/gen_lobe_bounds.py grid; truncated DEs only shrink it... the
+#   truncated sets are FATTER but still within 1.25 — checked in
+#   tests/test_engines.py::test_bulb_bound_constants).
+#
+#   LOWER (soft-shadow influence windows, AO far gate, proxy SDF): the
+#   sphere SDF must lower-bound the DE POINTWISE (h_bound <= DE
+#   everywhere), because those gates skip samples wherever
+#   k*h_bound/t >= 1 / bound-dist >= radius. MEASURED (16M random
+#   samples to radius 8, iters {2,4,8}): max(|p| - DE) = 1.3607 at
+#   r0 ~ 2.70 — the raw DE underestimates distance most in that shell,
+#   so the old shared 1.3 factor violated the property by up to
+#   0.06*scale there (soft-shadow window edges read ~0.07 too light vs
+#   the golden). 1.39 restores it with margin.
+BULB_BOUND_COVER = 1.3
+BULB_BOUND_LOWER = 1.39
 
-def _leaf_bound_scalars(lf, lp):
-    """(cx, cy, cz, radius) scalars for one bounded leaf."""
+
+def _leaf_bound_scalars(lf, lp, lower: bool = False):
+    """(cx, cy, cz, radius) scalars for one bounded leaf. lower=True
+    returns a sphere whose SDF pointwise lower-bounds the leaf SDF
+    (see BULB_BOUND_LOWER); lower=False a hit-region cover."""
     from surfjax.core.scene_compile import (
         LEAF_BOX, LEAF_MANDELBULB, LEAF_SPHERE,
     )
@@ -157,20 +181,25 @@ def _leaf_bound_scalars(lf, lp):
         r = jnp.sqrt((prm[3] * prm[3] + prm[4] * prm[4]) + prm[5] * prm[5])
         return prm[0], prm[1], prm[2], r
     if lf.kind == LEAF_MANDELBULB:
-        return prm[0], prm[1], prm[2], prm[3] * F32(1.3)
+        f = BULB_BOUND_LOWER if lower else BULB_BOUND_COVER
+        return prm[0], prm[1], prm[2], prm[3] * F32(f)
     return None
 
 
-def _object_bound(oir, lp, nparams):
+def _object_bound(oir, lp, nparams, lower: bool = False):
     """Bounding sphere scalars of one SDF object, or None if unboundable.
 
     Smooth unions can push the surface outward by at most k/4 (polynomial
-    smin >= min - k/4); that margin is added.
+    smin >= min - k/4); that margin is added. `lower` selects the
+    pointwise-lower-bound radius for iterated-DE leaves (see
+    _leaf_bound_scalars) — callers gating on h_bound <= sdf everywhere
+    (influence windows, AO far gate, proxy march) MUST pass lower=True.
     """
     from surfjax.core.scene_compile import LEAF_PLANE
     if any(lf.kind == LEAF_PLANE for lf in oir.leaves):
         return None
-    bounds = [_leaf_bound_scalars(lf, lp) for lf in oir.leaves]
+    bounds = [_leaf_bound_scalars(lf, lp, lower=lower)
+              for lf in oir.leaves]
     if any(b is None for b in bounds):
         return None
     n = float(len(bounds))
@@ -201,7 +230,8 @@ def _proxy_sdf_fn(sdf_objs, lp, nparams):
         # escape check makes near-tile far-lane evals pay full price)
         has_fractal = any(lf.kind == LEAF_MANDELBULB for lf in oir.leaves)
         cheap = len(oir.nodes) <= 2 and not has_fractal
-        b = None if cheap else _object_bound(oir, lp, nparams)
+        b = None if cheap else _object_bound(oir, lp, nparams,
+                                             lower=True)
         if b is None:
             parts.append(("exact", oir))
         else:
@@ -807,7 +837,9 @@ def visibility_core(static, settings: RenderSettings, lp, nparams,
             sdf_i = (lambda oir=oir: lambda p: eval_sdf(
                 oir, lp, nparams, p, leaf_fn=lod_fn))()
             dist_i = jnp.where(soft_vis <= F32(0.0), F32(0.0), dist)
-            b = _object_bound(oir, lp, nparams)
+            # influence windows skip where k*h_bound/t >= 1: needs the
+            # POINTWISE lower-bound sphere (see BULB_BOUND_LOWER)
+            b = _object_bound(oir, lp, nparams, lower=True)
             park_i = _park_point(oir, lp)
             tmin_s = F32(settings.soft_shadow_tmin)
             if b is not None:
@@ -841,6 +873,10 @@ def visibility_core(static, settings: RenderSettings, lp, nparams,
             sdf_i = (lambda oir=oir: lambda p: eval_sdf(
                 oir, lp, nparams, p, leaf_fn=leaf_sdf_fast))()
             dist_i = jnp.where(vis <= F32(0.0), F32(0.0), dist)
+            # hard-shadow gating needs only the hit-region COVER: an
+            # occlusion (h < eps) implies the point is inside the cover
+            # sphere, so both the segment skip and the entry/exit clip
+            # are sound with the tighter radius
             b = _object_bound(oir, lp, nparams)
             park_i = _park_point(oir, lp)
             if b is not None:
@@ -980,7 +1016,9 @@ def _ao_compute(static, settings, lp, nparams, p, n,
     unbounded = []
     near = None
     for i, oir in sdf_objs:
-        b = _object_bound(oir, lp, nparams)
+        # the far-gate claims d_i >= ao_radius at every tap: needs the
+        # POINTWISE lower-bound sphere (see BULB_BOUND_LOWER)
+        b = _object_bound(oir, lp, nparams, lower=True)
         if b is None:
             unbounded.append((i, oir))
             continue
@@ -1468,7 +1506,7 @@ def render_frame_pallas(static, intr, settings: RenderSettings, params,
     # construction (see _prime_march); analytic/mesh paths are unaffected.
     _, sdf_objs, _ = _split(static)
     t0_t = None
-    if (settings.prime and settings.march_mode == "tile" and sdf_objs
+    if (settings.prime and sdf_objs
             and min(H, W) >= settings.prime_min):
         C = 4
         Hc, Wc = H2 // C, W2 // C
@@ -1509,8 +1547,8 @@ def render_frame_pallas(static, intr, settings: RenderSettings, params,
 
     # mesh-free frames take KF, the fused megakernel (ray gen + trace +
     # AO + shadows + shading in ONE pallas pass — no ray/G-buffer HBM
-    # round trips, no XLA glue); mesh scenes and the capped-march /
-    # wavefront schedulers keep the split K1 -> merge -> K2 pipeline.
+    # round trips, no XLA glue); mesh scenes and the capped-march
+    # residual keep the split K1 -> merge -> K2 pipeline.
     if fused_frame_ok(static, settings):
         cam_rows = jnp.concatenate([R_flat.reshape(-1),
                                     cam_pos.reshape(-1)])[None, :]
@@ -1547,10 +1585,10 @@ def render_frame_pallas(static, intr, settings: RenderSettings, params,
 
 def fused_frame_ok(static, settings: RenderSettings) -> bool:
     """True when a frame can take KF (the fused megakernel): mesh-free
-    scene on the plain tile path. Mesh merges, wavefront scheduling and
-    the capped-march residual keep the split K1 -> K2 pipeline."""
+    scene on the plain tile path. Mesh merges and the capped-march
+    residual keep the split K1 -> K2 pipeline."""
     _, _, mesh_objs = _split(static)
-    return (not mesh_objs and settings.march_mode == "tile"
+    return (not mesh_objs
             and not settings.march_cap and not settings.shadow_march_cap)
 
 
@@ -1630,8 +1668,7 @@ def _render_padded(static, settings: RenderSettings, params, o2, d2,
                    t0=None) -> FrameBuffers:
     """Core pallas frame on (rows_total, 128)-tiled rays; flat outputs.
 
-    t0: optional per-lane primed SDF-march start (tile mode only; the
-    wavefront scheduler manages its own march state)."""
+    t0: optional per-lane primed SDF-march start."""
     from surfjax.core.scene_compile import (
         LIGHT_DIRECTIONAL, LIGHT_POINT,
     )
@@ -1643,29 +1680,24 @@ def _render_padded(static, settings: RenderSettings, params, o2, d2,
     ox, oy, oz = o2
     dx, dy, dz = d2
     # non-mesh scene (a scene of ONLY meshes still needs the blank frame)
-    if settings.march_mode == "wavefront":
-        from surfjax.kernels.wavefront import march_wavefront
-        t, obj, _leaf, n, ao, hit_f = march_wavefront(
-            static, settings, lp, nparams, (ox, oy, oz), (dx, dy, dz))
-    else:
-        cap = settings.march_cap
-        t0_arr = jnp.zeros_like(ox) if t0 is None else t0
-        t, obj, n, ao, hit_f, unres = render_tile_kernel(
-            static, settings, cap, lp, nparams, (ox, oy, oz),
-            (dx, dy, dz), t0=t0_arr)
-        if cap:
-            def k1_full(sub):
-                tt, oo, nn, aa, hh, _ = render_tile_kernel(
-                    static, settings, 0, lp, nparams,
-                    (sub[0], sub[1], sub[2]), (sub[3], sub[4], sub[5]),
-                    t0=sub[6])
-                return [tt, oo, nn[0], nn[1], nn[2], aa, hh]
+    cap = settings.march_cap
+    t0_arr = jnp.zeros_like(ox) if t0 is None else t0
+    t, obj, n, ao, hit_f, unres = render_tile_kernel(
+        static, settings, cap, lp, nparams, (ox, oy, oz),
+        (dx, dy, dz), t0=t0_arr)
+    if cap:
+        def k1_full(sub):
+            tt, oo, nn, aa, hh, _ = render_tile_kernel(
+                static, settings, 0, lp, nparams,
+                (sub[0], sub[1], sub[2]), (sub[3], sub[4], sub[5]),
+                t0=sub[6])
+            return [tt, oo, nn[0], nn[1], nn[2], aa, hh]
 
-            t, obj, nx_, ny_, nz_, ao, hit_f = _block_residual(
-                unres, [ox, oy, oz, dx, dy, dz, t0_arr],
-                [t, obj, n[0], n[1], n[2], ao, hit_f],
-                k1_full, settings.tile_rows)
-            n = (nx_, ny_, nz_)
+        t, obj, nx_, ny_, nz_, ao, hit_f = _block_residual(
+            unres, [ox, oy, oz, dx, dy, dz, t0_arr],
+            [t, obj, n[0], n[1], n[2], ao, hit_f],
+            k1_full, settings.tile_rows)
+        n = (nx_, ny_, nz_)
 
     # mesh objects: packet kernel per mesh; merge nearest
     n_geom = n

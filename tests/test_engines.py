@@ -172,3 +172,33 @@ def test_mandelbulb_general_power_renders_and_matches_golden():
     # the pallas kernel path specializes power=8 and must say so clearly
     with pytest.raises(NotImplementedError, match="power=8"):
         render(scene, cam, st.with_(backend="pallas", tile_rows=8))
+
+
+def test_bulb_bound_constants():
+    """Validate the two bulb bounding-radius factors against the LIVE DE
+    (kernels/render_tile.py BULB_BOUND_COVER / BULB_BOUND_LOWER):
+    COVER: the hit region {DE_it < 0.05} stays inside radius 1.3 for
+    every iteration count in use; LOWER: the sphere SDF |p| - 1.39
+    pointwise lower-bounds the DE (measured max(|p| - DE) = 1.3607 at
+    r0 ~ 2.70 — the raw-DE underestimation shell)."""
+    import numpy as np
+
+    from surfjax.engines.sdf import sdf_mandelbulb
+    from surfjax.kernels.render_tile import (
+        BULB_BOUND_COVER, BULB_BOUND_LOWER,
+    )
+
+    prm = jnp.asarray([0.0, 0.0, 0.0, 1.0, 2.0], jnp.float32)
+    rng = np.random.default_rng(5)
+    for it in (2, 4, 8):
+        q = rng.uniform(-4.0, 4.0, (2_000_000, 3)).astype(np.float32)
+        r0 = np.sqrt((q * q).sum(1))
+        de = np.asarray(sdf_mandelbulb(
+            prm, (jnp.asarray(q[:, 0]), jnp.asarray(q[:, 1]),
+                  jnp.asarray(q[:, 2])), 8, it))
+        # LOWER: |p| - R_lower <= DE everywhere
+        assert float((r0 - de).max()) <= BULB_BOUND_LOWER, it
+        # COVER: hit-region points lie inside R_cover
+        near = de < np.float32(0.05)
+        assert near.sum() > 1000
+        assert float(r0[near].max()) < BULB_BOUND_COVER, it
