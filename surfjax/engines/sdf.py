@@ -499,15 +499,17 @@ _AO_DIRS = (
 )
 
 
-def ao_probes(sdf_fn, p, n, samples: int, radius: float, strength: float):
-    """Hemisphere ambient-occlusion probes (component 13).
+def ao_probe_terms(sdf_fn, p, n, samples: int, radius: float):
+    """Per-tap AO occlusion terms, in tap order (see ao_probes).
 
-    For each of `samples` fixed directions (rotated into the normal frame),
-    take 4 taps at increasing radius; occlusion is how far the SDF falls
-    short of the TANGENT-PLANE response cos(theta)*r (so the receiver's own
-    plane contributes exactly zero — an isolated plane point reads the
-    fully open hemisphere). Returns ao factor in [0, 1].
-    """
+    Returned as a list of samples*4 arrays so callers can combine terms
+    from several object groups BEFORE summing: per tap,
+    max(az*r - min_j h_j, 0)/r == max_j (max(az*r - h_j, 0)/r) exactly
+    (rounding is monotone and the subtraction/division preserve order),
+    so a scene split into object groups can take the elementwise max of
+    each group's tap terms and sum — bit-identical to evaluating the
+    scene-min SDF. The pallas AO gate exploits this for value-exact
+    per-object tile skips (kernels/render_tile.py::_ao_compute)."""
     samples = min(samples, len(_AO_DIRS))
     # orthonormal frame (t1, t2, n) — branch on |n.y| to avoid degeneracy
     big_y = jnp.abs(n[1]) > F32(0.9)
@@ -519,7 +521,7 @@ def ao_probes(sdf_fn, p, n, samples: int, radius: float, strength: float):
           n[2] * t1[0] - n[0] * t1[2],
           n[0] * t1[1] - n[1] * t1[0])
 
-    occ = jnp.zeros_like(p[0])
+    terms = []
     rad = F32(radius)
     for s in range(samples):
         ax, ay, az = _AO_DIRS[s]
@@ -529,6 +531,28 @@ def ao_probes(sdf_fn, p, n, samples: int, radius: float, strength: float):
         for tap in range(1, 5):
             r = rad * F32(tap) * F32(0.25)
             h = sdf_fn((p[0] + dx * r, p[1] + dy * r, p[2] + dz * r))
-            occ = occ + jnp.maximum(F32(az) * r - h, F32(0.0)) / r
+            terms.append(jnp.maximum(F32(az) * r - h, F32(0.0)) / r)
+    return terms
+
+
+def ao_terms_to_factor(terms, samples: int, strength: float):
+    """Tap terms -> ao factor, with ao_probes' exact accumulation order."""
+    samples = min(samples, len(_AO_DIRS))
+    occ = terms[0]
+    for t in terms[1:]:
+        occ = occ + t
     occ = occ / F32(samples * 4)
     return saturate(F32(1.0) - F32(strength) * occ)
+
+
+def ao_probes(sdf_fn, p, n, samples: int, radius: float, strength: float):
+    """Hemisphere ambient-occlusion probes (component 13).
+
+    For each of `samples` fixed directions (rotated into the normal frame),
+    take 4 taps at increasing radius; occlusion is how far the SDF falls
+    short of the TANGENT-PLANE response cos(theta)*r (so the receiver's own
+    plane contributes exactly zero — an isolated plane point reads the
+    fully open hemisphere). Returns ao factor in [0, 1].
+    """
+    terms = ao_probe_terms(sdf_fn, p, n, samples, radius)
+    return ao_terms_to_factor(terms, samples, strength)

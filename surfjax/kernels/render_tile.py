@@ -52,7 +52,7 @@ from surfjax.core.scene_compile import (
 )
 from surfjax.core.types import FrameBuffers, RenderSettings
 from surfjax.engines.analytic import intersect_analytic, object_normal_analytic
-from surfjax.engines.sdf import ao_probes, eval_sdf
+from surfjax.engines.sdf import eval_sdf
 from surfjax.shade import shade_object
 
 
@@ -348,6 +348,38 @@ _PROXY_SWITCH = 0.08  # hand off to the full SDF within this proxy distance
 MARCH_UNROLL = 1      # full-SDF march substeps per while trip (eval-bound)
 
 
+def _bulb_entry_shell(oir, lp, exit_margin: float):
+    """Thin entry-shell scalar for a single-leaf power-8 Mandelbulb, or
+    None to keep _bound_entry's default max(_PROXY_SWITCH, exit_margin).
+
+    The default 0.08 shell exists because a generic bound sphere hugs
+    the surface (sphere/box leaves), so the entry must clear every
+    possible eps_eff AND leave the first march step useful. The bulb's
+    COVER bound (BULB_BOUND_COVER = 1.3) is validated to contain the
+    whole hit region {DE_it < 0.05*scale} (test_bulb_bound_constants),
+    so entering at radius 1.3*scale + exit_margin is already sound —
+    the 0.08 inflation only admits a useless silhouette ring of rays
+    whose march starts ~0.08 further out.
+
+    Static gates: single positive bulb leaf, power 8, iterations in
+    the validated set {2,4,8}. Dynamic gate (traced — robust against a
+    fit loop perturbing leaf params): bailout == 2.0 and
+    exit_margin <= 0.045*scale (the validated cover threshold with
+    margin); invalid lanes fall back to the default shell."""
+    from surfjax.core.scene_compile import LEAF_MANDELBULB
+    if len(oir.nodes) != 1:
+        return None
+    lf = oir.leaves[0]
+    if (lf.kind != LEAF_MANDELBULB or lf.sign <= 0 or lf.p0 != 8
+            or lf.p1 not in (2, 4, 8)):
+        return None
+    prm = lp[lf.slot]
+    valid = (jnp.abs(prm[4] - F32(2.0)) < F32(1e-6)) & \
+        (F32(exit_margin) <= F32(0.045) * prm[3])
+    return jnp.where(valid, F32(exit_margin),
+                     F32(max(_PROXY_SWITCH, exit_margin)))
+
+
 def _park_point(oir, lp):
     """Far evaluation point for DONE lanes of a march over this object
     (see _march's `park`), or None when the object has no iterated-DE
@@ -390,7 +422,8 @@ def _by_subtile(march, n_out, rows_per: int, o, d, *arrs):
     return tuple(jnp.concatenate(ch, axis=0) for ch in outs)
 
 
-def _bound_entry(b, o, d, t_start, t_clip, exit_margin: float):
+def _bound_entry(b, o, d, t_start, t_clip, exit_margin: float,
+                 shell=None):
     """Closed-form replacement for marching a single-sphere proxy.
 
     b = (cx, cy, cz, R) object bounding sphere. The sphere is inflated
@@ -404,9 +437,15 @@ def _bound_entry(b, o, d, t_start, t_clip, exit_margin: float):
     configs whose eps_eff exceeds _PROXY_SWITCH, where an eps-fat hit
     could exist outside the thin shell. Returns (t1, clip2); rays that
     miss the inflated bound (or whose intersection lies behind t_start)
-    get t1 = clip2 = t_clip, so the march's done0 fires immediately."""
+    get t1 = clip2 = t_clip, so the march's done0 fires immediately.
+
+    shell: optional per-call override of the inflation (scalar, may be
+    traced). Callers may pass a thinner shell ONLY when the bound is a
+    validated hit-region cover at a threshold >= every possible
+    eps_eff — see _bulb_entry_shell."""
     cx, cy, cz, R = b
-    Re = R + F32(max(_PROXY_SWITCH, exit_margin))
+    Re = R + (F32(max(_PROXY_SWITCH, exit_margin)) if shell is None
+              else shell)
     wx = cx - o[0]
     wy = cy - o[1]
     wz = cz - o[2]
@@ -595,12 +634,13 @@ def trace_core(static, settings: RenderSettings, lp, nparams, o, d,
             # leaves) march from t_start directly
             b_i = _object_bound(oir, lp, nparams)
             park_i = _park_point(oir, lp)
+            shell_i = _bulb_entry_shell(oir, lp, exit_margin)
 
             def run_march(o_s, d_s, clip_s, t0_s, sdf_i=sdf_i, b_i=b_i,
-                          park_i=park_i):
+                          park_i=park_i, shell_i=shell_i):
                 if b_i is not None:
                     t1, clip2 = _bound_entry(b_i, o_s, d_s, t0_s, clip_s,
-                                             exit_margin)
+                                             exit_margin, shell=shell_i)
                     return _march(sdf_i, o_s, d_s, F32(0.0), clip2,
                                   steps, settings.hit_eps, t_init=t1,
                                   relax=settings.over_relax,
@@ -987,16 +1027,23 @@ def _soft_march(sdf_fn, o, d, t_start, t_max, k, steps: int,
 def _ao_compute(static, settings, lp, nparams, p, n,
                 already_offset: bool = False):
     """AO probes over every non-mesh object (matching the jnp pipeline and
-    golden), with an EXACT tile-level skip for bounded objects: taps lie
-    within ao_radius of the (eps-offset) receiver, so if every lane is
-    more than 2*ao_radius outside object i's bounding sphere, d_i >=
-    ao_radius >= az*r at every tap and object i cannot contribute to any
-    tap's occlusion term — dropping it from the scene min is exact.
-    Unboundable objects (planes — cheap SDFs) are always evaluated; when
-    none exist and all bounded objects are far, ao is exactly 1.
+    golden), with an EXACT PER-OBJECT tile-level skip for bounded
+    objects: taps lie within ao_radius of the (eps-offset) receiver, so
+    if every lane is more than 2*ao_radius outside object i's bounding
+    sphere, d_i >= ao_radius >= az*r at every tap and object i cannot
+    contribute to any tap's occlusion term. Each bounded object's tap
+    terms ride their own lax.cond and combine by elementwise max — bit
+    identical to the scene-min evaluation (max(az*r - min_j h_j, 0) ==
+    max_j max(az*r - h_j, 0); see engines/sdf.py::ao_probe_terms), so a
+    tile near only the blob no longer pays the bulb's iterated DE at
+    every tap. Unboundable objects (planes — cheap SDFs) are always
+    evaluated; with everything far and no plane, ao is exactly 1.
 
     already_offset: p is a pre-offset receiver (mesh hits offset along the
     geometric normal by the caller, matching golden/renderer.py)."""
+    from surfjax.engines.sdf import (
+        _AO_DIRS, ao_probe_terms, ao_terms_to_factor,
+    )
     analytic, sdf_only, _ = _split(static)
     sdf_objs = analytic + sdf_only  # AO probes every non-mesh object
     eps = F32(settings.shadow_eps)
@@ -1008,13 +1055,13 @@ def _ao_compute(static, settings, lp, nparams, p, n,
     cap = settings.ao_lod_iters or settings.secondary_lod_iters
     lod_fn = _capped_leaf_fn(cap) if cap else None
 
-    def compute(objs):
+    def terms_of(objs):
         fn = lambda pp: _scene_sdf(objs, lp, nparams, pp, leaf_fn=lod_fn)
-        return ao_probes(fn, p_off, n, settings.ao_samples,
-                         settings.ao_radius, settings.ao_strength)
+        return tuple(ao_probe_terms(fn, p_off, n, settings.ao_samples,
+                                    settings.ao_radius))
 
     unbounded = []
-    near = None
+    gated = []
     for i, oir in sdf_objs:
         # the far-gate claims d_i >= ao_radius at every tap: needs the
         # POINTWISE lower-bound sphere (see BULB_BOUND_LOWER)
@@ -1027,13 +1074,24 @@ def _ao_compute(static, settings, lp, nparams, p, n,
         dy = p_off[1] - cy
         dz = p_off[2] - cz
         hb = jnp.sqrt((dx * dx + dy * dy) + dz * dz) - R
-        near = hb if near is None else jnp.minimum(near, hb)
-    if near is None:  # nothing boundable: nothing to gate
-        return compute(sdf_objs)
-    far_branch = ((lambda: compute(unbounded)) if unbounded
-                  else (lambda: jnp.ones_like(p[0])))
-    pred = jnp.min(near) <= F32(2.0) * F32(settings.ao_radius)
-    return jax.lax.cond(pred, lambda: compute(sdf_objs), far_branch)
+        gated.append(((i, oir), hb))
+
+    terms = terms_of(unbounded) if unbounded else None
+    n_terms = min(settings.ao_samples, len(_AO_DIRS)) * 4
+    for (i, oir), hb in gated:
+        pred = jnp.min(hb) <= F32(2.0) * F32(settings.ao_radius)
+        t_i = jax.lax.cond(
+            pred,
+            (lambda oir=oir, i=i: terms_of([(i, oir)])),
+            lambda: tuple(jnp.zeros_like(p_off[0])
+                          for _ in range(n_terms)))
+        terms = (t_i if terms is None
+                 else tuple(jnp.maximum(a, b_) for a, b_ in
+                            zip(terms, t_i)))
+    if terms is None:  # no objects at all
+        return jnp.ones_like(p[0])
+    return ao_terms_to_factor(terms, settings.ao_samples,
+                              settings.ao_strength)
 
 
 def _k1_body(static, settings, n_leaves, n_nodes, march_cap,
