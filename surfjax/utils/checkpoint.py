@@ -101,10 +101,12 @@ class SequenceCheckpointer:
             if n_frames is not None and start >= n_frames:
                 break
             if start != expect:
-                if n_frames is None:
+                if n_frames is None and chunks:
                     # no explicit range: return the contiguous prefix (a
                     # stale chunk beyond a gap is a leftover, not an error)
                     break
+                # an empty prefix (no chunk at frame 0) is a real error
+                # either way — keep the diagnostic message
                 raise ValueError(
                     f"checkpoint gap: expected chunk at frame {expect}, "
                     f"found {start} (out_dir {self.out_dir})")
@@ -116,6 +118,8 @@ class SequenceCheckpointer:
             raise ValueError(
                 f"checkpoint incomplete: chunks cover [0, {expect}) of "
                 f"requested {n_frames} frames")
+        if not chunks:
+            raise ValueError(f"no checkpoint chunks in {self.out_dir}")
         out = np.concatenate(chunks, axis=0)
         return out[:n_frames] if n_frames is not None else out
 

@@ -43,22 +43,26 @@ def test_two_process_distributed_render(tmp_path):
     env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
 
+    # each worker's output goes to its own FILE, not a pipe: the two
+    # workers are interlocked by collectives, so a worker blocked on a
+    # full stdout pipe (while the parent reads the other) would stall
+    # the whole cluster — a 9-minute flake under verbose logging
+    logs = [tmp_path / f"worker{pid}.log" for pid in range(2)]
     procs = [
         subprocess.Popen(
             [sys.executable, worker, str(pid), "2", str(port), out],
-            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-            text=True, cwd=root)
+            env=env, stdout=open(logs[pid], "w"),
+            stderr=subprocess.STDOUT, cwd=root)
         for pid in range(2)
     ]
-    outputs = []
     for p in procs:
         try:
-            stdout, _ = p.communicate(timeout=540)
+            p.wait(timeout=540)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
             pytest.fail("distributed worker timed out")
-        outputs.append(stdout)
+    outputs = [lg.read_text() for lg in logs]
     refused = any(
         ("UNIMPLEMENTED" in o or "does not support" in o
          or "NotImplementedError" in o) for o in outputs)

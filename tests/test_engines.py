@@ -177,21 +177,34 @@ def test_mandelbulb_general_power_renders_and_matches_golden():
 def test_bulb_bound_constants():
     """Validate the two bulb bounding-radius factors against the LIVE DE
     (kernels/render_tile.py BULB_BOUND_COVER / BULB_BOUND_LOWER):
-    COVER: the hit region {DE_it < 0.05} stays inside radius 1.3 for
-    every iteration count in use; LOWER: the sphere SDF |p| - 1.39
-    pointwise lower-bounds the DE (measured max(|p| - DE) = 1.3607 at
-    r0 ~ 2.70 — the raw-DE underestimation shell)."""
+    COVER: the hit region {DE_it < 0.05} stays inside radius 1.3;
+    LOWER: the sphere SDF |p| - 1.39 pointwise lower-bounds the DE
+    (measured max(|p| - DE) = 1.3607 at r0 ~ 2.70 — the raw-DE
+    underestimation shell). Swept over EVERY iteration count the
+    runtime can produce for power 8 (LoD caps are arbitrary ints in
+    [1, p1]; p1 up to 16 covered) — the lower-bound property is used by
+    influence windows/AO gates at whatever count the march evaluates.
+    Also pins tools/gen_lobe_bounds.py's NumPy copy of the DE to the
+    engine implementation (drift guard for the cover/validation tools).
+    """
     import numpy as np
 
     from surfjax.engines.sdf import sdf_mandelbulb
     from surfjax.kernels.render_tile import (
         BULB_BOUND_COVER, BULB_BOUND_LOWER,
     )
+    from tools.gen_lobe_bounds import canonical_de
 
     prm = jnp.asarray([0.0, 0.0, 0.0, 1.0, 2.0], jnp.float32)
     rng = np.random.default_rng(5)
-    for it in (2, 4, 8):
-        q = rng.uniform(-4.0, 4.0, (2_000_000, 3)).astype(np.float32)
+    for it in (1, 2, 3, 4, 5, 6, 7, 8, 16):
+        n = 800_000
+        q = rng.uniform(-4.0, 4.0, (n, 3)).astype(np.float32)
+        # extra samples concentrated in the known worst shell r0 ~ 2-4
+        sh = rng.normal(size=(n // 2, 3)).astype(np.float32)
+        sh /= np.sqrt((sh * sh).sum(1))[:, None]
+        sh *= rng.uniform(2.0, 4.0, (n // 2, 1)).astype(np.float32)
+        q = np.concatenate([q, sh], axis=0)
         r0 = np.sqrt((q * q).sum(1))
         de = np.asarray(sdf_mandelbulb(
             prm, (jnp.asarray(q[:, 0]), jnp.asarray(q[:, 1]),
@@ -202,3 +215,6 @@ def test_bulb_bound_constants():
         near = de < np.float32(0.05)
         assert near.sum() > 1000
         assert float(r0[near].max()) < BULB_BOUND_COVER, it
+        # tool-copy drift guard (jnp-vs-numpy FP differs at ULP scale)
+        de_tool = canonical_de((q[:, 0], q[:, 1], q[:, 2]), it)
+        np.testing.assert_allclose(de_tool, de, atol=2e-5, rtol=1e-4)

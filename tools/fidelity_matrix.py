@@ -90,7 +90,11 @@ def one_config(path: str, check: bool = False) -> bool:
         return True
     th = THRESHOLDS.get(name)
     if th is None:
-        return True
+        # a config without a threshold row must FAIL the gate loudly —
+        # otherwise a renamed/added config is silently never gated
+        print(f"  FIDELITY GATE: no THRESHOLDS entry for {name}; add "
+              f"one (tools/fidelity_matrix.py)", file=sys.stderr)
+        return False
     ok = True
     if m["hit_agree"] < th["hit_agree"]:
         print(f"  FIDELITY REGRESSION {name}: hit_agree "
@@ -135,7 +139,8 @@ def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     check = "--check" in sys.argv
     if "--decompose" in sys.argv:
-        decompose(*(args or ["configs/c3_sdf.yaml"]))
+        for c in (args or ["configs/c3_sdf.yaml"]):
+            decompose(c)
         return 0
     ok = True
     for c in args or DEFAULT_CONFIGS:

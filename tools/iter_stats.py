@@ -33,7 +33,10 @@ OVERHEAD = 2.2  # fused-trip flops / bare-DE-iteration flops (estimate)
 
 def bulb_iters_needed(prm, p, max_iters: int):
     """Per-lane bulb iterations until escape (capped). Mirrors
-    sdf_mandelbulb_while's escape semantics."""
+    sdf_mandelbulb_while's escape semantics. NOTE: hand-copied iteration
+    body — keep in sync with engines/sdf.py (the sibling NumPy copy in
+    tools/gen_lobe_bounds.py is drift-pinned to the engine by
+    tests/test_engines.py::test_bulb_bound_constants)."""
     import jax.numpy as jnp
     from surfjax.core.math import F32
 
