@@ -188,6 +188,9 @@ def sdf_mandelbulb(prm, p, power: int, iterations: int):
     return de * scale
 
 
+DE_UNROLL = 8  # bulb iterations per while trip (even `iterations` only)
+
+
 def sdf_mandelbulb_while(prm, p, power: int, iterations: int):
     """sdf_mandelbulb with the iteration as a lax.while_loop that exits as
     soon as every lane has escaped. Identical arithmetic to the unrolled
@@ -195,6 +198,16 @@ def sdf_mandelbulb_while(prm, p, power: int, iterations: int):
     1-2 iterations instead of all of them. Used on the kernel path only
     (the unrolled version stays reverse-differentiable for the IFT vjp).
     Mosaic-safe: f32 escape mask, scalar trip count.
+
+    Two per-trip cost trims, both bitwise value-exact:
+      - the escape mask is NOT a loop carry: once a lane's m crosses
+        bailout2 every later update is masked off, so m is frozen above
+        the bailout and `m > bailout2` IS the sticky escape state;
+      - DE_UNROLL iterations run per while trip (masked substeps are
+        identity for escaped lanes), dividing the carry save/restore and
+        all-escaped-reduction overhead; worst case wastes DE_UNROLL-1
+        masked iterations per call. Falls back to 1 for odd iteration
+        counts so the trip bound stays exact.
     """
     if power != 8:
         raise NotImplementedError(
@@ -209,16 +222,19 @@ def sdf_mandelbulb_while(prm, p, power: int, iterations: int):
     py = (p[1] - c[1]) * inv_s
     pz = (p[2] - c[2]) * inv_s
     m0 = (px * px + py * py) + pz * pz
-    esc0 = jnp.where(m0 > bailout2, F32(1.0), F32(0.0))
     tiny = F32(1e-4)
+    # largest unroll that divides the iteration count, so the trip bound
+    # stays exact (LoD-capped calls: iterations may be 2 or 4)
+    unroll = next(u for u in range(min(DE_UNROLL, iterations), 0, -1)
+                  if iterations % u == 0)
 
     def cond(s):
-        i, _, _, _, _, _, esc = s
-        return (i < iterations) & (jnp.min(esc) < F32(0.5))
+        i, _, _, _, _, m = s
+        return (i < iterations) & (jnp.min(
+            jnp.where(m > bailout2, F32(1.0), F32(0.0))) < F32(0.5))
 
-    def body(s):
-        i, wx, wy, wz, dz, m, esc = s
-        active = esc < F32(0.5)
+    def substep(wx, wy, wz, dz, m):
+        active = m <= bailout2
         m2 = m * m
         m4 = m2 * m2
         # m^3.5 = m^4 * rsqrt(m); hardware rsqrt — this is the kernel-fast
@@ -250,11 +266,16 @@ def sdf_mandelbulb_while(prm, p, power: int, iterations: int):
         wz = jnp.where(active, wz_new, wz)
         dz = jnp.where(active, dz_new, dz)
         m = jnp.where(active, (wx * wx + wy * wy) + wz * wz, m)
-        esc = jnp.maximum(esc, jnp.where(m > bailout2, F32(1.0), F32(0.0)))
-        return i + 1, wx, wy, wz, dz, m, esc
+        return wx, wy, wz, dz, m
 
-    _, _, _, _, dz, m, _ = jax.lax.while_loop(
-        cond, body, (0, px, py, pz, jnp.ones_like(m0), m0, esc0))
+    def body(s):
+        i, wx, wy, wz, dz, m = s
+        for _ in range(unroll):
+            wx, wy, wz, dz, m = substep(wx, wy, wz, dz, m)
+        return i + unroll, wx, wy, wz, dz, m
+
+    _, _, _, _, dz, m = jax.lax.while_loop(
+        cond, body, (0, px, py, pz, jnp.ones_like(m0), m0))
     r = jnp.sqrt(m)
     de = F32(0.25) * jnp.log(m) * r / dz
     # far-field guard -- see sdf_mandelbulb
