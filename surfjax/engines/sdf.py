@@ -188,7 +188,7 @@ def sdf_mandelbulb(prm, p, power: int, iterations: int):
     return de * scale
 
 
-DE_UNROLL = 8  # bulb iterations per while trip (even `iterations` only)
+DE_UNROLL = 4  # bulb iterations per while trip; swept on TPU: 1->398.7/281.6, 2->459.8/338.1, 4->471.3/354.5, 8->436.4/334.9 Mrays/s (LoD/exact)
 
 
 def sdf_mandelbulb_while(prm, p, power: int, iterations: int):
