@@ -329,15 +329,19 @@ def _march(sdf_fn, o, d, t_start, t_clip, max_steps: int, hit_eps: float,
         st_prev = jnp.where(done_new > F32(0.5), st_prev, ok * step)
         return t, h_prev, st_prev, done_new, hit
 
+    # largest unroll dividing the budget keeps the step count exact
+    unroll = next(u for u in range(min(MARCH_UNROLL, max_steps), 0, -1)
+                  if max_steps % u == 0)
+
     def body(s):
         i, t, h_prev, st_prev, done, hit = s
-        # MARCH_UNROLL substeps per while trip: divides the per-trip loop
+        # unrolled substeps per while trip: divides the per-trip loop
         # and all-done-reduction overhead (worst case wastes
-        # MARCH_UNROLL-1 evals per tile)
-        for _ in range(MARCH_UNROLL):
+        # unroll-1 evals per tile)
+        for _ in range(unroll):
             t, h_prev, st_prev, done, hit = substep(t, h_prev, st_prev,
                                                     done, hit)
-        return i + MARCH_UNROLL, t, h_prev, st_prev, done, hit
+        return i + unroll, t, h_prev, st_prev, done, hit
 
     _, t, _, _, done, hit = jax.lax.while_loop(
         cond, body, (0, t0, z0, z0, done0, hit0))
@@ -345,7 +349,14 @@ def _march(sdf_fn, o, d, t_start, t_clip, max_steps: int, hit_eps: float,
 
 
 _PROXY_SWITCH = 0.08  # hand off to the full SDF within this proxy distance
-MARCH_UNROLL = 1      # full-SDF march substeps per while trip (eval-bound)
+# March while-trip unrolls, swept on the TPU (c3 1080p, LoD/exact
+# Mrays/s): (march, soft) 1/1 -> 471.3/354.5, 2/1 -> 481.8/361.0,
+# 2/2 -> 500.4/371.0, 4/4 -> 513.0/376.7, 8/8 -> 516.3/380.2,
+# 8/4 -> 515.5/378.0, 16/16 -> 425.1/311.8. Unrolled substeps are
+# value-exact (done lanes masked; divisor logic keeps step budgets
+# exact); waste is at most unroll-1 park-point evals per tile march.
+MARCH_UNROLL = 8        # full-SDF march substeps per while trip
+SOFT_MARCH_UNROLL = 8   # penumbra-march substeps per while trip
 
 
 def _bulb_entry_shell(oir, lp, exit_margin: float):
@@ -966,8 +977,7 @@ def _soft_march(sdf_fn, o, d, t_start, t_max, k, steps: int,
         i, _, _, _, _, done = s
         return (i < steps) & (jnp.min(done) < F32(0.5))
 
-    def body(s):
-        i, t, res, h_prev, st_prev, done = s
+    def substep(t, res, h_prev, st_prev, done):
         px = o[0] + t * d[0]
         py = o[1] + t * d[1]
         pz = o[2] + t * d[2]
@@ -1010,7 +1020,18 @@ def _soft_march(sdf_fn, o, d, t_start, t_max, k, steps: int,
         t = jnp.where(done > F32(0.5), t, t_new)
         h_prev = jnp.where(done_new > F32(0.5), h_prev, ok * h)
         st_prev = jnp.where(done_new > F32(0.5), st_prev, ok * step)
-        return i + 1, t, res, h_prev, st_prev, done_new
+        return t, res, h_prev, st_prev, done_new
+
+    # largest unroll dividing the budget keeps the step count exact
+    unroll = next(u for u in range(min(SOFT_MARCH_UNROLL, steps), 0, -1)
+                  if steps % u == 0)
+
+    def body(s):
+        i, t, res, h_prev, st_prev, done = s
+        for _ in range(unroll):
+            t, res, h_prev, st_prev, done = substep(t, res, h_prev,
+                                                    st_prev, done)
+        return i + unroll, t, res, h_prev, st_prev, done
 
     _, _, res, _, _, done = jax.lax.while_loop(
         cond, body, (0, t0, res0, z0, z0, done0))
