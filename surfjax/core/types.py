@@ -70,9 +70,17 @@ class RenderSettings:
     background: Tuple[float, float, float] = (0.0, 0.0, 0.0)
     # kernel/backend selection: "jnp" (pure jax.numpy twin) | "pallas"
     backend: str = "jnp"
-    # Pallas tiling: rays per tile block = tile_rows * 128
-    tile_rows: int = 64
-    subtile_rows: int = 0         # per-(N,128) sub-block march loops (0=off)
+    # Pallas tiling: rays per tile block = tile_rows * 128. Swept on the
+    # TPU each time per-trip loop overhead changes: pre-unroll the
+    # optimum was 64 (flat 64-128); with the r3 march/DE while-trip
+    # unrolls (8x lower trip overhead) finer tiles win back divergence:
+    # 16/32/48/64 -> 339/481/509/502 Mrays/s LoD, 267/367/381/372 exact.
+    tile_rows: int = 48
+    # per-(N,128) sub-block march loops (0=off). Do NOT enable on real
+    # TPU: slicing sub-blocks inside the kernel crashes Mosaic's
+    # ApplyVectorLayout (vector_extract_strided_slice limits check),
+    # observed 2026-08-17 on v5e.
+    subtile_rows: int = 0
     # OPT-IN cone-march priming (pallas frames >= prime_min px on a
     # side): a 1/4-res pass bounds each 4x4 pixel block's safe march
     # start. Conservative (hit masks preserved), but hits land anywhere

@@ -357,6 +357,7 @@ _PROXY_SWITCH = 0.08  # hand off to the full SDF within this proxy distance
 # exact); waste is at most unroll-1 park-point evals per tile march.
 MARCH_UNROLL = 8        # full-SDF march substeps per while trip
 SOFT_MARCH_UNROLL = 8   # penumbra-march substeps per while trip
+PRIME_UNROLL = 8        # cone-prime substeps per while trip (both phases)
 
 
 def _bulb_entry_shell(oir, lp, exit_margin: float):
@@ -409,6 +410,21 @@ def _park_point(oir, lp):
         prm = lp[lf.slot]
         cand = prm[0] + prm[3] * (F32(4.0) * prm[4] + F32(2.0))
         px = cand if px is None else jnp.maximum(px, cand)
+    if px is None:
+        return None
+    return (px, F32(0.0), F32(0.0))
+
+
+def _scene_park_point(sdf_objs, lp):
+    """Scene-level far park point: escapes every Mandelbulb leaf of every
+    SDF object at iteration 0 (componentwise max of the per-object
+    constructions in _park_point), or None if no object needs parking."""
+    px = None
+    for _, oir in sdf_objs:
+        p = _park_point(oir, lp)
+        if p is None:
+            continue
+        px = p[0] if px is None else jnp.maximum(px, p[0])
     if px is None:
         return None
     return (px, F32(0.0), F32(0.0))
@@ -474,7 +490,7 @@ def _bound_entry(b, o, d, t_start, t_clip, exit_margin: float,
 
 
 def _prime_march(proxy_fn, sdf_fn, o, d, t_min: float, t_max: float,
-                 k_m: float, steps: int):
+                 k_m: float, steps: int, park=None):
     """Cone march: largest per-lane t_safe such that EVERY ray within
     angle k_m/2 of this one (same origin) has SDF > 0 on [t_min, t_safe].
 
@@ -495,7 +511,11 @@ def _prime_march(proxy_fn, sdf_fn, o, d, t_min: float, t_max: float,
     blk = F32(1e-3)
     t_init = jnp.full_like(o[0], F32(t_min))
 
-    def phase(fn, state, handoff_sw):
+    # largest unroll dividing the budget keeps the step count exact
+    unroll = next(u for u in range(min(PRIME_UNROLL, steps), 0, -1)
+                  if steps % u == 0)
+
+    def phase(fn, state, handoff_sw, park_p=None):
         t0, safe0 = state
         done0 = jnp.where(t0 >= tmaxf, F32(1.0), F32(0.0))
 
@@ -503,11 +523,19 @@ def _prime_march(proxy_fn, sdf_fn, o, d, t_min: float, t_max: float,
             i, _, _, done = s
             return (i < steps) & (jnp.min(done) < F32(0.5))
 
-        def body(s):
-            i, t, safe, done = s
+        def substep(t, safe, done):
             px = o[0] + t * d[0]
             py = o[1] + t * d[1]
             pz = o[2] + t * d[2]
+            if park_p is not None:
+                # DONE lanes stopped near (or on) the surface would pin
+                # every iterated-DE while-loop at full depth for the rest
+                # of the tile's march; park them far out instead. Value-
+                # exact: a done lane's h flows into nothing (see _march).
+                parked = done > F32(0.5)
+                px = jnp.where(parked, park_p[0], px)
+                py = jnp.where(parked, park_p[1], py)
+                pz = jnp.where(parked, park_p[2], pz)
             h = fn((px, py, pz))
             s_all = (h - k * t) * inv1k
             stop = s_all <= t * blk
@@ -521,7 +549,13 @@ def _prime_march(proxy_fn, sdf_fn, o, d, t_min: float, t_max: float,
             t = jnp.where(act > F32(0.5), t_new, t)
             over = jnp.where(t >= tmaxf, F32(1.0), F32(0.0))
             done_new = jnp.maximum(done_new, act * over)
-            return i + 1, t, safe, done_new
+            return t, safe, done_new
+
+        def body(s):
+            i, t, safe, done = s
+            for _ in range(unroll):
+                t, safe, done = substep(t, safe, done)
+            return i + unroll, t, safe, done
 
         _, t, safe, _ = jax.lax.while_loop(cond, body, (0, t0, safe0,
                                                         done0))
@@ -530,7 +564,7 @@ def _prime_march(proxy_fn, sdf_fn, o, d, t_min: float, t_max: float,
     state = (t_init, t_init)
     if proxy_fn is not None:
         state = phase(proxy_fn, state, F32(_PROXY_SWITCH))
-    _, safe = phase(sdf_fn, state, None)
+    _, safe = phase(sdf_fn, state, None, park_p=park)
     return safe
 
 
@@ -543,8 +577,10 @@ def _prime_body(static, settings, n_leaves, n_nodes, k_m,
     _, sdf_objs, _ = _split(static)
     sdf_fn = lambda p: _scene_sdf(sdf_objs, lp, nparams, p)
     proxy_fn = _proxy_sdf_fn(sdf_objs, lp, nparams)
+    park = _scene_park_point(sdf_objs, lp)
     t0_ref[:] = _prime_march(proxy_fn, sdf_fn, o, d, settings.t_min,
-                             settings.t_max, k_m, settings.max_steps)
+                             settings.t_max, k_m, settings.max_steps,
+                             park=park)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))

@@ -76,16 +76,22 @@ def main():
         pos0[None, :] + np.float32(1e-4) * np.arange(
             n_frames, dtype=np.float32)[:, None])
 
+    exact = settings.with_(secondary_lod_iters=0, ao_lod_iters=0)
+    # (label, settings, key whose time the delta is taken against)
     variants = [
-        ("primary only", settings.with_(shadows=False, ao=False)),
-        ("+ shadows", settings.with_(ao=False)),
-        ("full frame", settings),
+        ("primary only", settings.with_(shadows=False, ao=False), None),
+        ("+ shadows", settings.with_(ao=False), "primary only"),
+        ("full frame", settings, "+ shadows"),
+        ("+ shadows exact", exact.with_(ao=False), "primary only"),
+        ("full exact", exact, "+ shadows exact"),
     ]
-    prev = 0.0
-    for name, s in variants:
+    seen = {}
+    for name, s, base in variants:
         dt = time_settings(static, params, intr, R_flat, positions, s)
-        print(f"{name:16s} {dt * 1e3:8.2f} ms  (delta {max(dt - prev, 0.0) * 1e3:+7.2f} ms)")
-        prev = dt
+        seen[name] = dt
+        delta = dt - seen.get(base, 0.0)
+        print(f"{name:16s} {dt * 1e3:8.2f} ms  "
+              f"(delta {max(delta, 0.0) * 1e3:+7.2f} ms)")
 
 
 if __name__ == "__main__":
