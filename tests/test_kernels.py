@@ -362,3 +362,65 @@ def test_park_point_value_exact():
     for a, b_ in zip(ref_s, got_s):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
     assert float(np.asarray(ref_s[0]).min()) < 0.9  # darkening occurred
+
+
+def test_unroll_value_exact():
+    """March/DE while-trip unrolling (MARCH_UNROLL / SOFT_MARCH_UNROLL /
+    DE_UNROLL) must be bitwise invisible: unrolled substeps are identity
+    for done/escaped lanes and the divisor selection keeps every step
+    budget exact — including budgets the unroll does not divide."""
+    import surfjax.engines.sdf as sdf_mod
+    import surfjax.kernels.render_tile as rt
+    from surfjax.core.math import F32
+    from surfjax.engines.sdf import eval_sdf, leaf_sdf_fast
+
+    scene, cam, settings = config3_sdf(size=32)
+    static, params = scene.freeze()
+    lp = jnp.asarray(params["leaf_params"])
+    nparams = jnp.asarray(params["node_params"])
+    _, sdf_objs, _ = rt._split(static)
+    bulb = next(oir for _, oir in sdf_objs
+                if any(lf.kind == 3 for lf in oir.leaves))
+    sdf_i = lambda p: eval_sdf(bulb, lp, nparams, p, leaf_fn=leaf_sdf_fast)
+    park = rt._park_point(bulb, lp)
+
+    rng = np.random.default_rng(11)
+    n = 192
+    o = tuple(jnp.asarray(np.full(n, v, np.float32))
+              for v in (0.0, 0.4, 0.0))
+    tx = rng.uniform(0.0, 2.0, n).astype(np.float32)
+    ty = rng.uniform(-1.2, 1.2, n).astype(np.float32)
+    tz = np.full(n, 3.0, np.float32)
+    dn = np.stack([tx, ty - 0.4, tz])
+    dn /= np.sqrt((dn * dn).sum(0))
+    d = tuple(jnp.asarray(dn[i]) for i in range(3))
+    b = rt._object_bound(bulb, lp, nparams)
+    t_start = jnp.zeros(n, jnp.float32)
+    clip = jnp.full(n, np.float32(settings.t_max))
+    t1, clip2 = rt._bound_entry(b, o, d, t_start, clip, 1e-3)
+
+    saved = (rt.MARCH_UNROLL, rt.SOFT_MARCH_UNROLL, sdf_mod.DE_UNROLL)
+    try:
+        results = []
+        # budgets: 120 (divisible by 8), 126 (falls to 7), 127 (prime -> 1)
+        for unroll in (1, 5, 8):
+            rt.MARCH_UNROLL = rt.SOFT_MARCH_UNROLL = unroll
+            sdf_mod.DE_UNROLL = unroll
+            per_budget = []
+            for steps in (120, 126, 127):
+                m = rt._march(sdf_i, o, d, F32(0.0), clip2, steps,
+                              settings.hit_eps, t_init=t1,
+                              relax=settings.over_relax, park=park)
+                s = rt._soft_march(sdf_i, o, d, 0.02, clip2, F32(8.0),
+                                   steps, relax=settings.over_relax,
+                                   park=park)
+                per_budget.append([np.asarray(a) for a in (*m, *s)])
+            results.append(per_budget)
+        for other in results[1:]:
+            for ref_b, got_b in zip(results[0], other):
+                for a, c in zip(ref_b, got_b):
+                    np.testing.assert_array_equal(a, c)
+    finally:
+        rt.MARCH_UNROLL, rt.SOFT_MARCH_UNROLL, sdf_mod.DE_UNROLL = saved
+    # the workload exercised real marches (hits and penumbra darkening)
+    assert float(results[0][0][1].sum()) > 0
