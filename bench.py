@@ -82,9 +82,14 @@ def _time_mode(static, intr, settings, params, R_flat, positions,
     return float(np.min(times)) / n_frames, n_hits
 
 
-def run_bench(config: str | None = None, repeats: int = 3,
-              width: int = 1920, height: int = 1080,
-              n_frames: int = 48) -> dict:
+def metric_workload(config: str | None = None, width: int = 1920,
+                    height: int = 1080, n_frames: int = 48):
+    """Build THE pinned metric workload (BASELINE.md): the config's scene
+    reframed to width x height at the config camera's fov, with per-frame
+    sub-pixel camera jitter (same workload, defeats result caching).
+    -> (scene, static, params, intr, settings, R_flat, positions).
+    Shared by bench.py and the sweep tools so they measure the identical
+    workload."""
     import jax
     import jax.numpy as jnp
     from surfjax.api import Camera
@@ -107,11 +112,28 @@ def run_bench(config: str | None = None, repeats: int = 3,
 
     R_flat = jnp.asarray(np.asarray(camera.rotation, np.float32).reshape(9))
     pos0 = np.asarray(camera.position, np.float32)
-    # vary camera position per frame (sub-pixel jitter: same workload,
-    # defeats any possibility of cached results)
     positions = jnp.asarray(
         pos0[None, :] + np.float32(1e-4) * np.arange(
             n_frames, dtype=np.float32)[:, None])
+    return scene, static, params, intr, settings, R_flat, positions
+
+
+def rays_per_frame(scene, settings, intr, n_hits: float) -> float:
+    """Ray accounting (SURVEY.md §5.5): primary = H*W; shadow = one ray
+    per (hit, light); AO = one probe per (hit, probe direction)."""
+    primary = float(intr.width * intr.height)
+    shadow = n_hits * len(scene.lights) if settings.shadows else 0.0
+    ao = n_hits * settings.ao_samples if settings.ao else 0.0
+    return primary + shadow + ao
+
+
+def run_bench(config: str | None = None, repeats: int = 3,
+              width: int = 1920, height: int = 1080,
+              n_frames: int = 48) -> dict:
+    import jax
+
+    scene, static, params, intr, settings, R_flat, positions = \
+        metric_workload(config, width, height, n_frames)
 
     dt, n_hits = _time_mode(static, intr, settings, params, R_flat,
                             positions, repeats)
@@ -119,14 +141,13 @@ def run_bench(config: str | None = None, repeats: int = 3,
     dt_exact, _ = _time_mode(static, intr, exact, params, R_flat,
                              positions, repeats)
 
-    n_lights = len(scene.lights)
     primary = float(width * height)
-    shadow = n_hits * n_lights if settings.shadows else 0.0
+    shadow = n_hits * len(scene.lights) if settings.shadows else 0.0
     ao = n_hits * settings.ao_samples if settings.ao else 0.0
-    rays_per_frame = primary + shadow + ao
+    rpf = rays_per_frame(scene, settings, intr, n_hits)
 
-    mrays = rays_per_frame / dt / 1e6
-    mrays_exact = rays_per_frame / dt_exact / 1e6
+    mrays = rpf / dt / 1e6
+    mrays_exact = rpf / dt_exact / 1e6
     n_dev = jax.local_device_count()
     return {
         "metric": ("Mrays/sec/chip at 1080p (256-step trace); "
@@ -149,7 +170,7 @@ def run_bench(config: str | None = None, repeats: int = 3,
         "ao_lod_iters": settings.ao_lod_iters,
         "over_relax": settings.over_relax,
         "frames_per_sec": round(1.0 / dt, 4),
-        "rays_per_frame": int(rays_per_frame),
+        "rays_per_frame": int(rpf),
         "primary_rays": int(primary),
         "shadow_rays": int(shadow),
         "ao_rays": int(ao),

@@ -206,8 +206,10 @@ def sdf_mandelbulb_while(prm, p, power: int, iterations: int):
       - DE_UNROLL iterations run per while trip (masked substeps are
         identity for escaped lanes), dividing the carry save/restore and
         all-escaped-reduction overhead; worst case wastes DE_UNROLL-1
-        masked iterations per call. Falls back to 1 for odd iteration
-        counts so the trip bound stays exact.
+        masked iterations per call. The unroll actually used is the
+        largest divisor of `iterations` that is <= DE_UNROLL (e.g.
+        iterations 2/4 under LoD caps -> unroll 2/4; a prime count
+        falls to 1), so the trip bound stays exact.
     """
     if power != 8:
         raise NotImplementedError(

@@ -399,12 +399,14 @@ def test_unroll_value_exact():
     clip = jnp.full(n, np.float32(settings.t_max))
     t1, clip2 = rt._bound_entry(b, o, d, t_start, clip, 1e-3)
 
-    saved = (rt.MARCH_UNROLL, rt.SOFT_MARCH_UNROLL, sdf_mod.DE_UNROLL)
+    saved = (rt.MARCH_UNROLL, rt.SOFT_MARCH_UNROLL, rt.PRIME_UNROLL,
+             sdf_mod.DE_UNROLL)
     try:
         results = []
         # budgets: 120 (divisible by 8), 126 (falls to 7), 127 (prime -> 1)
         for unroll in (1, 5, 8):
             rt.MARCH_UNROLL = rt.SOFT_MARCH_UNROLL = unroll
+            rt.PRIME_UNROLL = unroll
             sdf_mod.DE_UNROLL = unroll
             per_budget = []
             for steps in (120, 126, 127):
@@ -414,13 +416,23 @@ def test_unroll_value_exact():
                 s = rt._soft_march(sdf_i, o, d, 0.02, clip2, F32(8.0),
                                    steps, relax=settings.over_relax,
                                    park=park)
-                per_budget.append([np.asarray(a) for a in (*m, *s)])
+                # cone-prime: park=None vs park must also be bitwise
+                # equal (a done lane's h flows into nothing)
+                pr0 = rt._prime_march(None, sdf_i, o, d, 1e-3, 8.0,
+                                      1e-3, steps, park=None)
+                pr1 = rt._prime_march(None, sdf_i, o, d, 1e-3, 8.0,
+                                      1e-3, steps, park=park)
+                np.testing.assert_array_equal(np.asarray(pr0),
+                                              np.asarray(pr1))
+                per_budget.append([np.asarray(a)
+                                   for a in (*m, *s, pr0)])
             results.append(per_budget)
         for other in results[1:]:
             for ref_b, got_b in zip(results[0], other):
                 for a, c in zip(ref_b, got_b):
                     np.testing.assert_array_equal(a, c)
     finally:
-        rt.MARCH_UNROLL, rt.SOFT_MARCH_UNROLL, sdf_mod.DE_UNROLL = saved
+        (rt.MARCH_UNROLL, rt.SOFT_MARCH_UNROLL, rt.PRIME_UNROLL,
+         sdf_mod.DE_UNROLL) = saved
     # the workload exercised real marches (hits and penumbra darkening)
     assert float(results[0][0][1].sum()) > 0
