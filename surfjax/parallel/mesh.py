@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from surfjax.core.camera import Intrinsics, camera_ray_dirs_dyn
 from surfjax.core.types import FrameBuffers, RenderSettings
@@ -103,7 +103,7 @@ def render_frame_sharded(scene, camera, settings: RenderSettings = RenderSetting
             out_specs=FrameBuffers(rgb=spec_rays, depth=spec_rays,
                                    normal=spec_rays, hit=spec_rays,
                                    obj_id=spec_rays),
-            check_rep=False,  # pallas_call outputs carry no rep metadata
+            check_vma=False,  # pallas_call outputs carry no varying-axis metadata
         )
         return fn(params, o, d)
 
@@ -156,7 +156,7 @@ def render_sequence_sharded(scene, camera, poses,
                                    normal=P("frame", "tile"),
                                    hit=P("frame", "tile"),
                                    obj_id=P("frame", "tile")),
-            check_rep=False,  # pallas_call outputs carry no rep metadata
+            check_vma=False,  # pallas_call outputs carry no varying-axis metadata
         )
         return fn(params, R_flats, positions)
 
