@@ -86,6 +86,33 @@ def test_ring_matches_grid_dda():
                                rtol=2e-7, atol=0.0)
 
 
+@pytest.mark.parametrize("n_devices", [2, 4])
+def test_ring_other_ring_sizes(n_devices):
+    tables = _mesh_tables()
+    o, d = _rays(512)
+    t1, tri1 = _ring(tables, o, d, 1)
+    tD, triD = _ring(tables, o, d, n_devices)
+    np.testing.assert_array_equal(t1, tD)
+    np.testing.assert_array_equal(tri1, triD)
+
+
+def test_ring_mesh_smaller_than_ring():
+    # 8 triangles over an 8-device ring: one triangle per shard; also
+    # exercises ceil-division padding when tris < devices after split
+    from surfjax.api import TriangleMesh
+    from surfjax.engines.mesh import build_grid
+    from surfjax.meshgen import octasphere
+
+    v, f = octasphere(0)  # 8 faces
+    tables = build_grid(TriangleMesh(vertices=v, faces=f))
+    o, d = _rays(256)
+    t1, tri1 = _ring(tables, o, d, 1)
+    t8, tri8 = _ring(tables, o, d, 8)
+    np.testing.assert_array_equal(t1, t8)
+    np.testing.assert_array_equal(tri1, tri8)
+    assert (t8 < BIG * 0.5).any()
+
+
 def test_ring_padding_shards():
     # triangle count not divisible by the ring size: padding shards must
     # not invent hits
