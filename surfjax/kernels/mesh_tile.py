@@ -39,6 +39,16 @@ from surfjax.engines.mesh import MeshStatic, _mesh_arrays
 from surfjax.kernels.render_tile import LANES, _interpret
 
 PACKET_K = 1024  # candidate budget per tile; overflow -> full-table scan
+# Triangle tests per loop trip (same while-trip overhead amortization as
+# render_tile's MARCH_UNROLL — carry save/restore of 7 tile arrays plus,
+# on the any-hit path, an all-done reduction, paid once per trip instead
+# of once per triangle). Substeps past the valid count are masked off
+# (clamped reads, hit &= k < n) so any unroll value is value-exact.
+# Swept on the c4 CONFIG workload (8192-tri octasphere-5, 1080p, TPU):
+# 1 -> 44.2 ms/frame (shadow any-hit +30.1), 8 -> 25.0, 16 -> 23.4,
+# 32 -> 23.2 (flat) — the one-triangle-per-trip carry traffic was 1.9x
+# of the whole frame.
+MESH_UNROLL = 16
 # Above this triangle count the full packed table (96 B/tri) no longer
 # fits comfortably in VMEM alongside the ray/candidate blocks, so the
 # overflow fallback would blow the ~16 MB budget; callers must route
@@ -190,13 +200,17 @@ def _mesh_body(settings, smooth: bool, any_hit: bool, with_full: bool,
     eps = F32(1e-7)
     t_min = F32(settings.t_min if not any_hit else settings.shadow_eps)
 
-    def make_loop(ref, is_cand):
+    def make_step(ref, is_cand, n_cap, n_valid):
+        """Guarded per-triangle test: reads clamp to n_cap-1 rows and a
+        test at k >= n_valid is masked off, so unrolled trips may run
+        past the valid count with no effect (value-exact)."""
         def body(k, carry):
             t_best, nsx, nsy, nsz, ngx, ngy, ngz = carry
+            kc = jnp.minimum(k, n_cap - 1)
             if is_cand:
-                row = lambda j: ref[0, k, j]
+                row = lambda j: ref[0, kc, j]
             else:
-                row = lambda j: ref[k, j]
+                row = lambda j: ref[kc, j]
             v0 = (row(0), row(1), row(2))
             e1 = (row(3), row(4), row(5))
             e2 = (row(6), row(7), row(8))
@@ -218,7 +232,7 @@ def _mesh_body(settings, smooth: bool, any_hit: bool, with_full: bool,
             t = ((e2[0] * qvx + e2[1] * qvy) + e2[2] * qvz) * inv_det
             hit = (ok & (u >= F32(0.0)) & (v >= F32(0.0))
                    & (u + v <= F32(1.0)) & (t > t_min) & (t < t_maxv)
-                   & (t < t_best))
+                   & (t < t_best) & (k < n_valid))
             if not any_hit:
                 gn = (row(9), row(10), row(11))
                 if smooth:
@@ -256,10 +270,14 @@ def _mesh_body(settings, smooth: bool, any_hit: bool, with_full: bool,
         # any-hit wants the first occlusion, not the nearest: exit the
         # scan once every lane has found a hit or was inactive (miss
         # lanes carry t_maxv <= t_min). f32 done mask per Mosaic rules.
+        # MESH_UNROLL guarded tests per trip; the trip may record up to
+        # MESH_UNROLL-1 extra (nearer) occluders after the last lane's
+        # first hit — the occlusion BOOLEAN the caller consumes is
+        # unchanged (once occluded, stays occluded).
         inactive = jnp.where(t_maxv <= t_min, F32(1.0), F32(0.0))
 
-        def scan_any(ref, is_cand, n):
-            body = make_loop(ref, is_cand)
+        def scan_any(ref, is_cand, n_cap, n):
+            body = make_step(ref, is_cand, n_cap, n)
 
             def cond(s):
                 k, carry = s
@@ -271,29 +289,43 @@ def _mesh_body(settings, smooth: bool, any_hit: bool, with_full: bool,
 
             def step(s):
                 k, carry = s
-                return k + 1, body(k, carry)
+                for u in range(MESH_UNROLL):
+                    carry = body(k + u, carry)
+                return k + MESH_UNROLL, carry
 
             _, carry = jax.lax.while_loop(cond, step, (0, init))
             return carry
 
         if full_ref is None:
-            out = scan_any(cand_ref, True, jnp.minimum(count, K))
+            out = scan_any(cand_ref, True, K, jnp.minimum(count, K))
         else:
             out = jax.lax.cond(
                 count > K,
-                lambda: scan_any(full_ref, False, n_full),
-                lambda: scan_any(cand_ref, True, jnp.minimum(count, K)))
+                lambda: scan_any(full_ref, False, n_full, n_full),
+                lambda: scan_any(cand_ref, True, K,
+                                 jnp.minimum(count, K)))
     else:
+        def run_chunked(ref, is_cand, n_cap, n):
+            # ceil(n / MESH_UNROLL) trips of guarded substeps: identical
+            # triangle visit order, 1/MESH_UNROLL the carry traffic
+            body = make_step(ref, is_cand, n_cap, n)
+            trips = (n + MESH_UNROLL - 1) // MESH_UNROLL
+
+            def chunk(c, carry):
+                for u in range(MESH_UNROLL):
+                    carry = body(c * MESH_UNROLL + u, carry)
+                return carry
+
+            return jax.lax.fori_loop(0, trips, chunk, init)
+
         def cand_path():
-            return jax.lax.fori_loop(0, jnp.minimum(count, K),
-                                     make_loop(cand_ref, True), init)
+            return run_chunked(cand_ref, True, K, jnp.minimum(count, K))
 
         if full_ref is None:
             out = cand_path()
         else:
             def full_path():
-                return jax.lax.fori_loop(0, n_full,
-                                         make_loop(full_ref, False), init)
+                return run_chunked(full_ref, False, n_full, n_full)
 
             out = jax.lax.cond(count > K, full_path, cand_path)
     t_best, nsx, nsy, nsz, ngx, ngy, ngz = out

@@ -114,7 +114,12 @@ def main():
         "rays_per_frame": hb["rays_per_frame"],
     })
     s4 = config4_mesh(1920, 1080)
-    results.append(bench_scene(s4[0], s4[1], s4[2], 1, "c4 mesh 1080p"))
+    results.append(bench_scene(s4[0], s4[1], s4[2], 1,
+                               "c4 FIXTURE mesh (128 tris) 1080p"))
+    from surfjax.config import load_config
+    c4 = load_config("configs/c4_mesh.yaml")
+    results.append(bench_scene(c4[0], c4[1], c4[2], 1,
+                               "c4 CONFIG mesh (8192 tris) 1080p"))
 
     for r in results:
         print(json.dumps(r))
