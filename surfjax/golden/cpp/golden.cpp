@@ -14,9 +14,13 @@
 // Scene data arrives as flat tables (the same SoA data model the compiler
 // emits); the math here shares no code with either other implementation.
 
+#include <algorithm>
 #include <cmath>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
+#include <thread>
+#include <vector>
 
 namespace {
 
@@ -614,7 +618,19 @@ extern "C" void sj_golden_render(
   S.mesh_verts = mesh_verts; S.mesh_vnorm = mesh_vnorm;
   S.mesh_faces = mesh_faces; S.mesh_obj = mesh_obj;
 
-  for (int row = 0; row < S.height; ++row) {
+  // Per-pixel independent (every iteration writes only its own idx), so
+  // row-strided threading is bitwise-exact — the per-pixel arithmetic is
+  // untouched. Thread count: SJ_GOLDEN_THREADS env or hardware
+  // concurrency (capped); strided rows load-balance the fractal rows.
+  int n_threads = 1;
+  if (const char *env = std::getenv("SJ_GOLDEN_THREADS")) {
+    n_threads = std::max(1, std::atoi(env));
+  } else {
+    n_threads = std::max(1u, std::thread::hardware_concurrency());
+  }
+  n_threads = std::min(n_threads, 64);
+  auto render_rows = [&](int tid) {
+  for (int row = tid; row < S.height; row += n_threads) {
     for (int col = 0; col < S.width; ++col) {
       int idx = row * S.width + col;
       float xc = ((float)col + 0.5f - S.cx) / S.fx;
@@ -730,5 +746,16 @@ extern "C" void sj_golden_render(
       out_normal[3 * idx + 2] = n.z * hf;
       out_hit[idx] = hf;
     }
+  }
+  };  // render_rows
+
+  if (n_threads == 1) {
+    render_rows(0);
+  } else {
+    std::vector<std::thread> pool;
+    pool.reserve(n_threads);
+    for (int tid = 0; tid < n_threads; ++tid)
+      pool.emplace_back(render_rows, tid);
+    for (auto &th : pool) th.join();
   }
 }

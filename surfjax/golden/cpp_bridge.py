@@ -29,7 +29,7 @@ def _build() -> str:
         # build to a temp file + atomic rename (concurrent importers must
         # never dlopen a half-written .so)
         tmp = f"{_LIB}.{os.getpid()}.tmp"
-        cmd = ["g++", "-O2", "-fno-fast-math", "-ffp-contract=off",
+        cmd = ["g++", "-O2", "-fno-fast-math", "-ffp-contract=off", "-pthread",
                "-shared", "-fPIC", "-o", tmp, _SRC]
         subprocess.run(cmd, check=True, capture_output=True, text=True)
         os.replace(tmp, _LIB)
