@@ -30,7 +30,7 @@ def cmd_render(args):
     if args.golden:
         from surfjax.golden import renderer as golden
         t0 = time.time()
-        fb = golden.render(scene, camera, settings)
+        fb = golden.render_parallel(scene, camera, settings)
         dt = time.time() - t0
         rgb, depth, normal = fb["rgb"], fb["depth"], fb["normal"]
     else:

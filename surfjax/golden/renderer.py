@@ -572,11 +572,17 @@ _AO_DIRS = (
 # ---------------------------------------------------------------------------
 
 def render(scene: api.Scene, camera: api.Camera,
-           settings: RenderSettings = RenderSettings()):
-    """Golden frame. Returns dict of numpy arrays: rgb, depth, normal, hit."""
+           settings: RenderSettings = RenderSettings(), row_range=None):
+    """Golden frame. Returns dict of numpy arrays: rgb, depth, normal, hit.
+
+    row_range=(r0, r1) renders only image rows [r0, r1) — global row
+    indices, so every per-lane value is bitwise identical to the full
+    render (used by render_parallel's row blocks)."""
     intr = camera.intrinsics
     H, W = intr.height, intr.width
-    rr, cc = np.meshgrid(np.arange(H, dtype=np.float32),
+    r0, r1 = (0, H) if row_range is None else row_range
+    H = r1 - r0
+    rr, cc = np.meshgrid(np.arange(r0, r1, dtype=np.float32),
                          np.arange(W, dtype=np.float32), indexing="ij")
     rr = rr.reshape(-1)
     cc = cc.reshape(-1)
@@ -781,6 +787,32 @@ def render(scene: api.Scene, camera: api.Camera,
         "hit": hitf.reshape(H, W),
         "obj_id": np.where(mask, obj_id, np.int32(-1)).reshape(H, W),
     }
+
+
+def render_parallel(scene: api.Scene, camera: api.Camera,
+                    settings: RenderSettings = RenderSettings(),
+                    n_workers=None):
+    """Row-block threaded golden render, bitwise identical to render():
+    blocks use global row indices so every per-lane value is the same
+    elementwise arithmetic, and NumPy releases the GIL on array ops so
+    blocks execute concurrently. Block-level march early-exit also stops
+    sky blocks early (work-only, value-exact). Asserted bitwise against
+    render() in tests/test_fixtures.py."""
+    import concurrent.futures as cf
+    import os
+
+    H = camera.intrinsics.height
+    n = n_workers or min(32, os.cpu_count() or 1)
+    block = max(8, -(-H // (n * 4)))
+    ranges = [(r, min(r + block, H)) for r in range(0, H, block)]
+    if len(ranges) <= 1:
+        return render(scene, camera, settings)
+    with cf.ThreadPoolExecutor(n) as ex:
+        parts = list(ex.map(
+            lambda rg: render(scene, camera, settings, row_range=rg),
+            ranges))
+    return {k: np.concatenate([p[k] for p in parts], axis=0)
+            for k in parts[0]}
 
 
 def _soft_shadow(sdf_fn, o, d, t_min, t_max, k, steps):

@@ -36,3 +36,13 @@ def test_golden_matches_pinned_fixture(name, mk, kw, ulp):
         m = max_ulp(fb["rgb"], z["rgb"])
         assert m <= ulp, (f"golden semantics drifted for {name}: {m} ULP "
                           f"(regenerate fixtures only if intentional)")
+
+
+def test_parallel_golden_bitwise():
+    """render_parallel's row-block threading must be bitwise invisible
+    (global row indices -> identical per-lane arithmetic)."""
+    scene, cam, settings = config3_sdf(size=96)
+    a = golden.render(scene, cam, settings)
+    b = golden.render_parallel(scene, cam, settings, n_workers=4)
+    for k in a:
+        assert (a[k] == b[k]).all(), k
