@@ -137,15 +137,11 @@ def _mt_shard(o, d, v0, e1, e2, ids, t_min, t_max, t_best, tri_best,
     return jax.lax.fori_loop(0, n_chunks, body, (t_best, tri_best))
 
 
-def ring_trace(shards, o, d, t_min, t_max, mesh: Mesh,
-               axis: str = "shard"):
-    """Nearest mesh hit over a device ring. `shards` from
-    shard_triangles(n_shards = mesh.shape[axis]); rays (flat f32
-    triples) must have length divisible by the ring size. Returns
-    (t, tri_id) gathered on the host: t == BIG and tri_id == n_tris on
-    miss. Bitwise equal to a single-device full-table pass."""
-    D = mesh.shape[axis]
-    n_tris = shards["n_tris"]
+@functools.lru_cache(maxsize=32)
+def _ring_fn(mesh: Mesh, axis: str, D: int, t_min: float):
+    """Compiled ring body, cached on (mesh, axis, D, t_min) so repeated
+    ring_trace calls (per-frame batches) reuse the jitted executable —
+    jax.jit then caches per ray/shard shape as usual."""
 
     def body(v0, e1, e2, ids, ox, oy, oz, dx, dy, dz, tmax):
         # per device: v0 (1, S, 3) local shard slice; rays (N/D,)
@@ -181,15 +177,33 @@ def ring_trace(shards, o, d, t_min, t_max, mesh: Mesh,
         body, mesh=mesh,
         in_specs=(spec_shard,) * 4 + (spec_ray,) * 7,
         out_specs=(spec_ray, spec_ray))
+    return jax.jit(fn)
+
+
+def ring_trace(shards, o, d, t_min, t_max, mesh: Mesh,
+               axis: str = "shard"):
+    """Nearest mesh hit over a device ring. `shards` from
+    shard_triangles(n_shards = mesh.shape[axis]); rays (flat f32
+    triples) must have length divisible by the ring size. Returns
+    (t, tri_id) gathered on the host: t == BIG and tri_id == n_tris on
+    miss. Bitwise equal to a single-device full-table pass.
+
+    The compiled executable is cached on (mesh, axis, ring size, t_min)
+    + shapes; device_put with an array's existing NamedSharding is a
+    no-op, so pre-placed shard tables transfer once across repeated
+    per-batch calls."""
+    D = mesh.shape[axis]
+    n_tris = shards["n_tris"]
+    fn = _ring_fn(mesh, axis, D, float(t_min))
     dev = lambda x, s: jax.device_put(
         jnp.asarray(x), NamedSharding(mesh, s))
     tmax_arr = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32),
                                 o[0].shape)
-    t, tri = jax.jit(fn)(
-        dev(shards["v0"], spec_shard), dev(shards["e1"], spec_shard),
-        dev(shards["e2"], spec_shard), dev(shards["ids"], spec_shard),
-        dev(o[0], spec_ray), dev(o[1], spec_ray), dev(o[2], spec_ray),
-        dev(d[0], spec_ray), dev(d[1], spec_ray), dev(d[2], spec_ray),
-        dev(tmax_arr, spec_ray))
+    t, tri = fn(
+        dev(shards["v0"], spec := P(axis)), dev(shards["e1"], spec),
+        dev(shards["e2"], spec), dev(shards["ids"], spec),
+        dev(o[0], spec), dev(o[1], spec), dev(o[2], spec),
+        dev(d[0], spec), dev(d[1], spec), dev(d[2], spec),
+        dev(tmax_arr, spec))
     tri = jnp.where(t < BIG * F32(0.5), tri, jnp.int32(n_tris))
     return t, tri

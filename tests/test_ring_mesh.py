@@ -114,14 +114,26 @@ def test_ring_mesh_smaller_than_ring():
 
 
 def test_ring_padding_shards():
-    # triangle count not divisible by the ring size: padding shards must
-    # not invent hits
-    tables = _mesh_tables()
+    # Triangle count NOT divisible by the ring size or the MT chunk:
+    # octasphere(3) truncated to 509 tris over 8 devices -> per-shard
+    # S=64 with 3 padding rows in the last shard, and a 509-vs-512
+    # chunk-of-64 pad inside _mt_shard. Padding must not invent hits
+    # and must stay bitwise-equal to the single-device pass.
+    from surfjax.api import TriangleMesh
+    from surfjax.engines.mesh import build_grid
+    from surfjax.meshgen import octasphere
+
+    v, f = octasphere(3)
+    tables = build_grid(TriangleMesh(vertices=v, faces=f[:509]))
     n = tables.arrays["tri_v0"].shape[0]
-    assert n % 8 != 0 or True  # octasphere(3) tri count; padding either way
+    assert n == 509 and n % 8 != 0
     o, d = _rays(256)
+    t1, tri1 = _ring(tables, o, d, 1)
     t8, tri8 = _ring(tables, o, d, 8)
+    np.testing.assert_array_equal(t1, t8)
+    np.testing.assert_array_equal(tri1, tri8)
     # no winner may be a padding id
     hit = t8 < BIG * 0.5
+    assert hit.any()
     assert (tri8[hit] < n).all()
     assert (tri8[~hit] == n).all()
