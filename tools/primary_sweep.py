@@ -54,6 +54,7 @@ def main():
         ("no bulb", [0, 2]),
         ("no blob", [1, 2]),
         ("floor only", [2]),
+        ("empty scene", []),
     ]
     for name, keep in scene_variants:
         st, pr = subset(keep)
@@ -64,8 +65,8 @@ def main():
         ("max_steps=64", settings.with_(max_steps=64)),
         ("relax=2.0", settings.with_(over_relax=2.0)),
         ("relax=1.2", settings.with_(over_relax=1.2)),
-        ("subtile=8", settings.with_(subtile_rows=8)),
-        ("subtile=16", settings.with_(subtile_rows=16)),
+        # subtile_rows variants removed: they crash Mosaic
+        # ApplyVectorLayout on real TPU (see core/types.py)
         ("tile_rows=32", settings.with_(tile_rows=32)),
         ("tile_rows=16", settings.with_(tile_rows=16)),
         ("eps_scale=2e-3", settings.with_(hit_eps_scale=2e-3)),

@@ -1,8 +1,14 @@
 """Stage-time breakdown for the pallas frame, scan-dispatch methodology.
 
 Times setting variants of the c3 workload (or any config) at 1080p with
-N frames per dispatch so tunnel overhead amortizes away (same method as
-bench.py). Differences between variants give per-stage costs:
+N frames per dispatch so tunnel overhead amortizes away. NOTE: this
+tool scans `frame_step` per frame (so every settings variant, including
+mesh scenes, goes through the same code path); bench.py's fused
+sequence path amortizes per-frame overhead further — measured on an
+EMPTY scene, this scan path carries ~3.9 ms/frame of infrastructure vs
+~1.2 ms on the fused 48-frame path. DELTAS between variants are
+comparable; absolute numbers here run ~2.8 ms/frame above the bench.
+Differences between variants give per-stage costs:
 
     primary   = time(shadows=off, ao=off)
     +shadows  = time(shadows=on,  ao=off) - primary
