@@ -1578,6 +1578,26 @@ def _block_residual(unres, ins, outs, kernel_fn, tile_rows: int):
 # Full pallas-backend frame: K1 -> secondary batches -> K2 -> shade (XLA)
 # ---------------------------------------------------------------------------
 
+def _validate_pallas_settings(settings: RenderSettings) -> None:
+    """Refuse settings that would crash or silently mis-tile the real
+    Mosaic backend (a bad value must raise here, not SIGABRT the process
+    inside the TPU compiler)."""
+    if settings.tile_rows <= 0 or settings.tile_rows % 8 != 0:
+        raise ValueError(
+            f"tile_rows must be a positive multiple of 8 (TPU sublane "
+            f"layout); got {settings.tile_rows}")
+    if settings.subtile_rows and not _interpret():
+        raise ValueError(
+            "subtile_rows > 0 crashes Mosaic's ApplyVectorLayout on real "
+            "TPU (vector_extract_strided_slice limits check, observed on "
+            "v5e — see RenderSettings.subtile_rows); it is only usable "
+            "under interpret mode (CPU)")
+    if settings.max_steps <= 0 or settings.shadow_steps <= 0:
+        raise ValueError(
+            f"step budgets must be positive; got max_steps="
+            f"{settings.max_steps}, shadow_steps={settings.shadow_steps}")
+
+
 def render_frame_pallas(static, intr, settings: RenderSettings, params,
                         R_flat, cam_pos) -> FrameBuffers:
     """Full pallas frame with SQUARE pixel tiles.
@@ -1590,6 +1610,7 @@ def render_frame_pallas(static, intr, settings: RenderSettings, params,
     """
     from surfjax.core.camera import camera_ray_dirs_dyn
 
+    _validate_pallas_settings(settings)
     H, W = intr.height, intr.width
     R = settings.tile_rows
     H2 = ((H + R - 1) // R) * R
@@ -1717,6 +1738,7 @@ def render_sequence_pallas(static, intr, settings: RenderSettings, params,
     fused_frame_ok (and settings.prime off — the priming pass is a
     single-frame construct). Returns FrameBuffers stacked on a leading
     frame axis: rgb (F, H, W, 3), depth/hit (F, H, W), ..."""
+    _validate_pallas_settings(settings)
     H, W = intr.height, intr.width
     R = settings.tile_rows
     H2 = ((H + R - 1) // R) * R

@@ -92,3 +92,25 @@ def test_single_frame_sequence():
                                   np.asarray(fb_one.hit))
     np.testing.assert_allclose(np.asarray(fb_seq.rgb[0]),
                                np.asarray(fb_one.rgb), atol=1e-5)
+
+
+def test_pallas_settings_validation():
+    """Settings that would SIGABRT Mosaic (or silently mis-tile) must
+    raise a Python error at the pallas entry instead."""
+    import pytest
+
+    from surfjax import Camera, Material, PointLight, RenderSettings, \
+        Scene, Sphere
+    from surfjax.pipeline.frame import render_frame
+
+    scene = Scene()
+    scene.add(Sphere(center=(0.0, 0.0, 3.0), radius=1.0),
+              Material.lambert())
+    scene.add_light(PointLight(position=(3.0, 4.0, -1.0)))
+    cam = Camera.pinhole(64, 64, fov_y_deg=45.0)
+    base = RenderSettings(backend="pallas", tile_rows=8)
+    for bad in (base.with_(tile_rows=12),
+                base.with_(tile_rows=0),
+                base.with_(max_steps=0)):
+        with pytest.raises(ValueError):
+            render_frame(scene, cam, bad)
