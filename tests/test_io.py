@@ -1,7 +1,7 @@
-"""Image I/O (SURVEY §2 component 22): the from-scratch OpenEXR v2
-writer is validated by an INDEPENDENT mini-reader in this file (parses
-magic, version, attributes, the uint64 scanline offset table, and the
-per-scanline planar rows per the spec), plus PNG/golden-npz round trips
+"""Image I/O (SURVEY §2 component 22). The RGB EXR layout walk lives in
+tests/test_utils.py::test_exr_writer_layout_roundtrip; this file covers
+what that one does not: named-channel (G-buffer style) EXR data round
+trips through an independent mini-reader, PNG/golden-npz round trips,
 and the ULP comparison utilities."""
 
 import os
@@ -61,17 +61,6 @@ def _read_exr(path):
             planes[n][y] = np.frombuffer(raw, np.float32, W, p)
             p += 4 * W
     return planes
-
-
-def test_exr_rgb_roundtrip(tmp_path):
-    rng = np.random.default_rng(0)
-    rgb = rng.normal(size=(7, 13, 3)).astype(np.float32)
-    path = str(tmp_path / "t.exr")
-    save_exr(path, rgb)
-    planes = _read_exr(path)
-    np.testing.assert_array_equal(planes["R"], rgb[..., 0])
-    np.testing.assert_array_equal(planes["G"], rgb[..., 1])
-    np.testing.assert_array_equal(planes["B"], rgb[..., 2])
 
 
 def test_exr_named_channels(tmp_path):

@@ -183,14 +183,6 @@ def test_exr_writer_layout_roundtrip(tmp_path):
     np.testing.assert_array_equal(out, rgb)
 
 
-def test_exr_writer_depth_channel(tmp_path):
-    import numpy as np
-    from surfjax.io.image import save_exr
-    z = np.arange(12, dtype=np.float32).reshape(3, 4)
-    save_exr(str(tmp_path / "z.exr"), {"Z": z})
-    assert (tmp_path / "z.exr").stat().st_size > 8 * 3 + 4 * 12
-
-
 def test_checkpoint_rerun_with_smaller_frame_count(tmp_path):
     """Rerunning an animation in the same out_dir with a smaller
     n_frames must prune the overlapping stale chunk it re-renders and
