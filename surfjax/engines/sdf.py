@@ -171,7 +171,11 @@ def sdf_mandelbulb(prm, p, power: int, iterations: int):
         escaped = escaped | (m > bailout2)
 
     r = jnp.sqrt(m)
-    de = F32(0.25) * jnp.log(m) * r / dz
+    # max(m, 1e-30): identical for every normal m; at m == 0 (evaluation
+    # point maps to the origin — ON the set) log(0)*0 would be NaN, the
+    # guard makes de exactly 0 (correct). Same literal guard in the
+    # while form and both goldens so all four implementations agree.
+    de = F32(0.25) * jnp.log(jnp.maximum(m, F32(1e-30))) * r / dz
     # far-field guard: the raw DE overestimates distance for far points
     # (escape at iteration ~0, dz ~ 1 => de ~ 0.5*r*ln r), which makes the
     # march overshoot INTO the set. The set lies in a ball of radius 1.25
@@ -240,8 +244,13 @@ def sdf_mandelbulb_while(prm, p, power: int, iterations: int):
         m2 = m * m
         m4 = m2 * m2
         # m^3.5 = m^4 * rsqrt(m); hardware rsqrt — this is the kernel-fast
-        # path, and the Mandelbulb carries the chaos tolerance carve-out
-        dz_new = F32(8.0) * ((m4 * jax.lax.rsqrt(m)) * dz) + F32(1.0)
+        # path, and the Mandelbulb carries the chaos tolerance carve-out.
+        # max(m, 1e-30): identical for normal m; at m == 0 rsqrt(0)=inf
+        # times m4=0 would poison dz with NaN for the rest of the march
+        # (the unrolled form's sqrt(m^7) path yields 0 there) — the
+        # guard gives the same dz_new = 1.
+        dz_new = F32(8.0) * ((m4 * jax.lax.rsqrt(
+            jnp.maximum(m, F32(1e-30)))) * dz) + F32(1.0)
         x, y, z = wx, wy, wz
         x2 = x * x
         x4 = x2 * x2
@@ -279,7 +288,8 @@ def sdf_mandelbulb_while(prm, p, power: int, iterations: int):
     _, _, _, _, dz, m = jax.lax.while_loop(
         cond, body, (0, px, py, pz, jnp.ones_like(m0), m0))
     r = jnp.sqrt(m)
-    de = F32(0.25) * jnp.log(m) * r / dz
+    # same m == 0 log guard as sdf_mandelbulb (de exactly 0 on the set)
+    de = F32(0.25) * jnp.log(jnp.maximum(m, F32(1e-30))) * r / dz
     # far-field guard -- see sdf_mandelbulb
     r0 = jnp.sqrt(m0)
     far = r0 - F32(1.35)
@@ -480,7 +490,11 @@ def soft_shadow_march(sdf_fn, o, d, t_min, t_max, k, steps: int):
     kf = k if hasattr(k, "shape") else F32(k)
     t = jnp.full_like(o[0], t_min)
     res = jnp.ones_like(o[0])
-    done = jnp.zeros_like(o[0], dtype=bool)
+    # a light nearer than t_min leaves no shadow segment: visibility 1,
+    # never sample beyond the light (review r3 — matches the pallas
+    # kernel and both goldens; previously one out-of-segment sample at
+    # t_min could darken the pixel)
+    done = t > t_max
 
     def cond(state):
         i, _, _, done = state

@@ -421,7 +421,9 @@ float leaf_sdf(const Scene &S, const ObjView &O, int li, const Vec &p) {
     mm = (wx * wx + wy * wy) + wz * wz;
   }
   float r = std::sqrt(mm);
-  float de = 0.25f * std::log(mm) * r / dz;
+  // max(mm, 1e-30): same guard as engines/sdf (de exactly 0 at mm == 0
+  // instead of log(0)*0 = NaN); identical for every normal mm
+  float de = 0.25f * std::log(std::fmax(mm, 1e-30f)) * r / dz;
   // far-field guard -- see engines/sdf.sdf_mandelbulb
   float r0 = std::sqrt((px * px + py * py) + pz * pz);
   float far_ = r0 - 1.35f;
@@ -499,6 +501,9 @@ Vec normal_fd(const Scene &S, const ObjView &O, const Vec &p) {
 float soft_shadow(const Scene &S, const Vec &o, const Vec &d, float t_max) {
   float t = S.soft_tmin;
   float res = 1.0f;
+  // light nearer than t_min -> no shadow segment, visibility 1 (same
+  // rule as the kernel and engines/sdf; never sample beyond the light)
+  if (t > t_max) return 1.0f;
   for (int i = 0; i < S.shadow_steps; ++i) {
     Vec p{o.x + t * d.x, o.y + t * d.y, o.z + t * d.z};
     float h = scene_sdf_nonmesh(S, p);

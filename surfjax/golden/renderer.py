@@ -391,7 +391,9 @@ def _sdf_mandelbulb(n: api.Mandelbulb, p):
         m = np.where(active, (wx * wx + wy * wy) + wz * wz, m)
         escaped = escaped | (m > bailout2)
     r = np.sqrt(m)
-    de = F(0.25) * np.log(m) * r / dz
+    # max(m, 1e-30): same guard as engines/sdf (de exactly 0 at m == 0
+    # instead of log(0)*0 = NaN); identical for every normal m
+    de = F(0.25) * np.log(np.maximum(m, F(1e-30))) * r / dz
     # far-field guard -- see engines/sdf.sdf_mandelbulb
     r0 = np.sqrt((px * px + py * py) + pz * pz)
     far = r0 - F(1.35)
@@ -819,7 +821,9 @@ def _soft_shadow(sdf_fn, o, d, t_min, t_max, k, steps):
     kf = k if isinstance(k, np.ndarray) else F(k)
     t = np.full_like(o[0], F(t_min))
     res = np.ones_like(o[0])
-    done = np.zeros_like(o[0], dtype=bool)
+    # light nearer than t_min -> no shadow segment, visibility 1 (same
+    # rule as the kernel and engines/sdf; never sample beyond the light)
+    done = t > t_max
     i = 0
     while i < steps and not done.all():
         px = o[0] + t * d[0]

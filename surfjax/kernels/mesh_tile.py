@@ -348,7 +348,12 @@ def mesh_tile_kernel(ms: MeshStatic, settings: RenderSettings, tri_packed,
     rows = o2[0].shape[0]
     R = settings.tile_rows
     tiles = rows // R
-    cand, counts = mesh_candidates(ms, tri_packed, o2, d2, settings.t_min,
+    # candidate segments must start where the in-kernel accept test does:
+    # shadow (any-hit) rays accept from shadow_eps, not t_min — culling
+    # from t_min would drop contact occluders in (shadow_eps, t_min)
+    # whenever a config raises t_min (review r3)
+    t_seg_min = settings.shadow_eps if any_hit else settings.t_min
+    cand, counts = mesh_candidates(ms, tri_packed, o2, d2, t_seg_min,
                                    t_max, R)
     t_maxv = jnp.asarray(t_max, jnp.float32) * jnp.ones_like(o2[0])
 

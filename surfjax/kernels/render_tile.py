@@ -515,15 +515,18 @@ def _prime_march(proxy_fn, sdf_fn, o, d, t_min: float, t_max: float,
     unroll = next(u for u in range(min(PRIME_UNROLL, steps), 0, -1)
                   if steps % u == 0)
 
-    def phase(fn, state, handoff_sw, park_p=None):
-        t0, safe0 = state
+    def phase(fn, t0, handoff_sw, park_p=None):
+        # t is both the march position and the last proven-safe start:
+        # a stopped lane's t keeps its last advanced (proven) value, so
+        # no separate `safe` carry is needed (review r3: the old second
+        # carry was provably identical to t — pure per-trip overhead)
         done0 = jnp.where(t0 >= tmaxf, F32(1.0), F32(0.0))
 
         def cond(s):
-            i, _, _, done = s
+            i, _, done = s
             return (i < steps) & (jnp.min(done) < F32(0.5))
 
-        def substep(t, safe, done):
+        def substep(t, done):
             px = o[0] + t * d[0]
             py = o[1] + t * d[1]
             pz = o[2] + t * d[2]
@@ -545,27 +548,24 @@ def _prime_march(proxy_fn, sdf_fn, o, d, t_min: float, t_max: float,
                                                    F32(0.0)))
             act = F32(1.0) - done_new
             t_new = jnp.minimum(t + s_all, tmaxf)
-            safe = jnp.where(act > F32(0.5), t_new, safe)
             t = jnp.where(act > F32(0.5), t_new, t)
             over = jnp.where(t >= tmaxf, F32(1.0), F32(0.0))
             done_new = jnp.maximum(done_new, act * over)
-            return t, safe, done_new
+            return t, done_new
 
         def body(s):
-            i, t, safe, done = s
+            i, t, done = s
             for _ in range(unroll):
-                t, safe, done = substep(t, safe, done)
-            return i + unroll, t, safe, done
+                t, done = substep(t, done)
+            return i + unroll, t, done
 
-        _, t, safe, _ = jax.lax.while_loop(cond, body, (0, t0, safe0,
-                                                        done0))
-        return t, safe
+        _, t, _ = jax.lax.while_loop(cond, body, (0, t0, done0))
+        return t
 
-    state = (t_init, t_init)
+    t_safe = t_init
     if proxy_fn is not None:
-        state = phase(proxy_fn, state, F32(_PROXY_SWITCH))
-    _, safe = phase(sdf_fn, state, None, park_p=park)
-    return safe
+        t_safe = phase(proxy_fn, t_safe, F32(_PROXY_SWITCH))
+    return phase(sdf_fn, t_safe, None, park_p=park)
 
 
 def _prime_body(static, settings, n_leaves, n_nodes, k_m,
@@ -715,32 +715,41 @@ def trace_core(static, settings: RenderSettings, lp, nparams, o, d,
 
 def normals_core(static, settings: RenderSettings, lp, nparams, p, obj, leaf,
                  d):
-    """Normals for trace_core hits; face-forwarded."""
+    """Normals for trace_core hits; face-forwarded. Matches the jnp
+    pipeline's per-object selection (pipeline/frame.py): analytic
+    objects get analytic normals only under normals="auto" (normals=
+    "fd" switches them to the FD tetrahedron, same as jnp/golden), and
+    each SDF object's FD taps evaluate that OBJECT's own tape — not the
+    scene min — so contact seams between SDF objects agree with the
+    oracles (review r3)."""
     analytic, sdf_objs, _ = _split(static)
     nx = jnp.zeros_like(p[0])
     ny = jnp.zeros_like(p[0])
     nz = jnp.ones_like(p[0])
-    for i, oir in analytic:
-        n_i = object_normal_analytic(oir, lp, p, leaf.astype(jnp.int32))
+    fd_objs = list(sdf_objs)
+    if settings.normals == "auto":
+        for i, oir in analytic:
+            n_i = object_normal_analytic(oir, lp, p, leaf.astype(jnp.int32))
+            sel = obj == F32(float(i))
+            nx = jnp.where(sel, n_i[0], nx)
+            ny = jnp.where(sel, n_i[1], ny)
+            nz = jnp.where(sel, n_i[2], nz)
+    else:
+        fd_objs = sorted(analytic + sdf_objs)
+    for i, oir in fd_objs:
+        # per-object FD, cond-gated: tiles with no lane won by this
+        # object skip its 4-tap evaluation entirely (value-exact skip)
         sel = obj == F32(float(i))
-        nx = jnp.where(sel, n_i[0], nx)
-        ny = jnp.where(sel, n_i[1], ny)
-        nz = jnp.where(sel, n_i[2], nz)
-    if sdf_objs:
-        sdf_fn = lambda pp: _scene_sdf(sdf_objs, lp, nparams, pp)
-        is_sdf = jnp.zeros_like(p[0])
-        for i, _ in sdf_objs:
-            is_sdf = jnp.maximum(is_sdf,
-                                 jnp.where(obj == F32(float(i)),
-                                           F32(1.0), F32(0.0)))
-        # tiles with no SDF winner skip the 4-tap FD evaluation entirely
-        # (their lanes use analytic/mesh normals) — value-exact skip
+        won = jnp.where(sel, F32(1.0), F32(0.0))
+        from surfjax.engines.sdf import leaf_sdf_fast
+        sdf_i = (lambda oir=oir: lambda pp: eval_sdf(
+            oir, lp, nparams, pp, leaf_fn=leaf_sdf_fast))()
         n_s = jax.lax.cond(
-            jnp.max(is_sdf) > F32(0.5),
-            lambda: _fd_normal(sdf_fn, p, settings.normal_eps),
+            jnp.max(won) > F32(0.5),
+            (lambda sdf_i=sdf_i: _fd_normal(sdf_i, p,
+                                            settings.normal_eps)),
             lambda: (jnp.zeros_like(p[0]), jnp.zeros_like(p[0]),
                      jnp.ones_like(p[0])))
-        sel = is_sdf > F32(0.5)
         nx = jnp.where(sel, n_s[0], nx)
         ny = jnp.where(sel, n_s[1], ny)
         nz = jnp.where(sel, n_s[2], nz)
@@ -966,25 +975,35 @@ def visibility_core(static, settings: RenderSettings, lp, nparams,
             # are sound with the tighter radius
             b = _object_bound(oir, lp, nparams)
             park_i = _park_point(oir, lp)
+            # shadow marches use the same cone epsilon as the jnp twin
+            # and goldens (sphere_trace(..., hit_eps_scale) on the
+            # shadow path); the skip/entry margins below are widened to
+            # the worst eps_eff over the whole segment so they stay
+            # sound (review r3: eps_scale was dropped here, making the
+            # kernel under-occlude vs the oracles at eps_scale > 0)
+            eps_margin = settings.hit_eps + settings.hit_eps_scale * float(
+                settings.t_max)
             if b is not None:
-                # segment clears the bound by more than the hit epsilon:
-                # the march cannot register an occlusion (h >= dseg)
+                # segment clears the bound by more than the worst-case
+                # hit epsilon: the march cannot register an occlusion
                 dseg = _seg_bound_dist(b, F32(eps))
-                dist_i = jnp.where(dseg > F32(settings.hit_eps), F32(0.0),
+                dist_i = jnp.where(dseg > F32(eps_margin), F32(0.0),
                                    dist_i)
                 # closed-form bound entry/exit replaces the proxy phase
                 t1, clip2 = _bound_entry(b, o, l,
                                          F32(eps) * jnp.ones_like(dist_i),
-                                         dist_i, settings.hit_eps)
+                                         dist_i, eps_margin)
                 t_s, hit_s, un_i = _march(sdf_i, o, l, F32(0.0), clip2,
                                           steps, settings.hit_eps,
                                           t_init=t1,
                                           relax=settings.over_relax,
+                                          eps_scale=settings.hit_eps_scale,
                                           park=park_i)
             else:
                 t_s, hit_s, un_i = _march(sdf_i, o, l, eps, dist_i,
                                           steps, settings.hit_eps,
                                           relax=settings.over_relax,
+                                          eps_scale=settings.hit_eps_scale,
                                           park=park_i)
             occ = (hit_s > F32(0.5)) & (t_s < dist_i)
             vis = vis * jnp.where(occ, F32(0.0), F32(1.0))
@@ -1198,7 +1217,6 @@ def _ao_fix_body(static, settings, n_leaves, n_nodes,
     n = (nx_ref[:], ny_ref[:], nz_ref[:])
     need = need_ref[:]
     ao_in = ao_in_ref[:]
-    _, sdf_objs, _ = _split(static)
 
     def compute():
         ao_new = _ao_compute(static, settings, lp, nparams, p, n,
