@@ -90,3 +90,54 @@ def test_config5_scene_strict_parity_eager():
     np.testing.assert_array_equal(np.asarray(fb.hit), gold["hit"])
     m = max_ulp(np.asarray(fb.rgb), gold["rgb"])
     assert m <= 1, f"config5 shading differs by {m} ULP"
+
+
+def test_fd_normals_mode_parity():
+    """normals='fd' must switch analytic objects to FD normals on EVERY
+    backend (review r3: the pallas path silently ignored it)."""
+    scene = Scene()
+    scene.add(Sphere(center=(0.0, 0.0, 3.0), radius=1.0),
+              Material.blinn_phong(albedo=(0.6, 0.5, 0.4), shininess=16))
+    scene.add_light(PointLight(position=(3.0, 4.0, -1.0)))
+    cam = Camera.pinhole(64, 64, fov_y_deg=45.0)
+    s = RenderSettings(shadows=False, normals="fd", backend="pallas",
+                       tile_rows=8)
+    fb_p = render(scene, cam, s)
+    fb_j = render(scene, cam, s.with_(backend="jnp"))
+    gold = golden.render(scene, cam, s)
+    hit = np.asarray(fb_p.hit) > 0.5
+    # all three backends use the FD tetrahedron; hits land anywhere in
+    # the eps band so curved-surface FD normals scatter by O(1e-3)
+    for other in (np.asarray(fb_j.normal), gold["normal"]):
+        d = np.abs(np.asarray(fb_p.normal) - other)[hit]
+        assert d.max() < 5e-3, d.max()
+    # and they differ from the analytic normals (fd actually engaged)
+    fb_auto = render(scene, cam, s.with_(normals="auto"))
+    d_auto = np.abs(np.asarray(fb_p.normal)
+                    - np.asarray(fb_auto.normal))[hit]
+    assert d_auto.max() > 0.0
+
+
+def test_contact_seam_normals_per_object():
+    """FD taps at a hit on one SDF object must evaluate that object's
+    OWN tape: two objects whose surfaces touch diverge if the taps read
+    the scene min (review r3)."""
+    scene = Scene()
+    # two separate SDF objects exactly touching at x=0
+    scene.add(Sphere(center=(-0.5, 0.0, 3.0), radius=0.5),
+              Material.lambert(albedo=(0.7, 0.4, 0.4)), engine="sdf")
+    scene.add(Sphere(center=(0.5, 0.0, 3.0), radius=0.5),
+              Material.lambert(albedo=(0.4, 0.4, 0.7)), engine="sdf")
+    scene.add_light(PointLight(position=(3.0, 4.0, -1.0)))
+    cam = Camera.pinhole(96, 64, fov_y_deg=45.0)
+    s = RenderSettings(shadows=False, backend="pallas", tile_rows=8)
+    fb_p = render(scene, cam, s)
+    fb_j = render(scene, cam, s.with_(backend="jnp"))
+    hit = np.asarray(fb_p.hit) > 0.5
+    assert hit.any()
+    np.testing.assert_array_equal(np.asarray(fb_p.obj_id),
+                                  np.asarray(fb_j.obj_id))
+    d = np.abs(np.asarray(fb_p.normal) - np.asarray(fb_j.normal))[hit]
+    # per-object taps: only eps-band hit scatter remains (the scene-min
+    # taps this guards against blended normals at the seam by O(1))
+    assert d.max() < 2e-2, d.max()
