@@ -141,3 +141,30 @@ def test_contact_seam_normals_per_object():
     # per-object taps: only eps-band hit scatter remains (the scene-min
     # taps this guards against blended normals at the seam by O(1))
     assert d.max() < 2e-2, d.max()
+
+
+def test_hard_shadow_cone_eps_parity():
+    """Hard-shadow marches must apply hit_eps_scale like the jnp twin
+    and goldens (review r3: the pallas path dropped it and
+    under-occluded at eps_scale > 0). SDF occluder between a floor
+    receiver and the light, fat cone epsilon."""
+    scene = Scene()
+    scene.add(Sphere(center=(0.6, 1.2, 3.0), radius=0.5),
+              Material.lambert(albedo=(0.8, 0.3, 0.3)), engine="sdf")
+    scene.add(Plane(normal=(0.0, 1.0, 0.0), offset=-1.0),
+              Material.lambert(albedo=(0.5, 0.5, 0.5)))
+    scene.add_light(PointLight(position=(0.6, 6.0, 3.0)))
+    cam = Camera.pinhole(96, 64, fov_y_deg=45.0,
+                         position=(0.0, 1.0, 0.0), target=(0.3, 0.0, 3.0))
+    s = RenderSettings(shadows=True, hit_eps_scale=2e-3,
+                       backend="pallas", tile_rows=8)
+    fb_p = render(scene, cam, s)
+    fb_j = render(scene, cam, s.with_(backend="jnp"))
+    gold = golden.render(scene, cam, s)
+    rgb_p = np.asarray(fb_p.rgb)
+    # the floor must actually carry a shadow
+    assert (rgb_p[np.asarray(fb_p.obj_id) == 1].min(axis=-1) < 0.2).any()
+    for other, label in ((np.asarray(fb_j.rgb), "jnp"),
+                         (gold["rgb"], "golden")):
+        d = np.abs(rgb_p - other)
+        assert d.max() < 2e-2, (label, d.max())
