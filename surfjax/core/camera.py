@@ -121,6 +121,27 @@ def camera_ray_dirs_dyn(intr: Intrinsics, R_flat, rows, cols):
     return vnormalize((dx, dy, dz))
 
 
+def flat_camera_rays(intr: Intrinsics, R_flat, cam_pos, pad_to: int = 1):
+    """Canonical flat (row-major) per-pixel rays for a traced pose —
+    THE single definition of the pixel-index grid, shared by the fit
+    loop and the sharded renderers (review r3: three hand-kept copies).
+    pad_to > 1 edge-pads the ray count up to a multiple (device
+    sharding). -> (o tuple, d tuple, n_real_pixels)."""
+    n = intr.width * intr.height
+    n_pad = ((n + pad_to - 1) // pad_to) * pad_to
+    rows = jnp.repeat(jnp.arange(intr.height, dtype=jnp.float32),
+                      intr.width)
+    cols = jnp.tile(jnp.arange(intr.width, dtype=jnp.float32),
+                    intr.height)
+    rows = jnp.pad(rows, (0, n_pad - n), mode="edge")
+    cols = jnp.pad(cols, (0, n_pad - n), mode="edge")
+    d = camera_ray_dirs_dyn(intr, R_flat, rows, cols)
+    o = (jnp.broadcast_to(cam_pos[0], rows.shape),
+         jnp.broadcast_to(cam_pos[1], rows.shape),
+         jnp.broadcast_to(cam_pos[2], rows.shape))
+    return o, d, n
+
+
 def rotation_y(theta):
     """Traced rotation about world Y axis, returned as (9,) row-major."""
     c = jnp.cos(theta)

@@ -97,8 +97,9 @@ class RenderSettings:
 class FrameBuffers(NamedTuple):
     """Per-frame output G-buffer (component 15). All (H, W[, C]) float32."""
     rgb: Any          # (H, W, 3)
-    depth: Any        # (H, W)   hit distance t (BIG on miss)
-    normal: Any       # (H, W, 3)
+    depth: Any        # (H, W)   hit distance t (0.0 on miss — mask sky
+                      #          with `hit`, not depth)
+    normal: Any       # (H, W, 3) zeroed on miss
     hit: Any          # (H, W)   1.0 where a surface was hit
     obj_id: Any       # (H, W)   int32 object index (-1 on miss)
 
@@ -107,7 +108,8 @@ class Hit(NamedTuple):
     """Result of scene intersection for a batch of rays (flat shapes)."""
     t: Any            # (N,) float32, BIG on miss
     obj_id: Any       # (N,) int32, -1 on miss
-    leaf_id: Any      # (N,) int32 global leaf index (analytic normal lookup)
+    leaf_id: Any      # (N,) int32 OBJECT-LOCAL leaf index (analytic
+                      # normal lookup; mesh hits carry the triangle id)
     mask: Any         # (N,) bool
 
 

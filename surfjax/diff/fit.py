@@ -18,7 +18,6 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from surfjax.core.camera import camera_ray_dirs_dyn
 from surfjax.core.math import F32
 from surfjax.core.types import RenderSettings
 from surfjax.pipeline.frame import render_rays
@@ -57,13 +56,8 @@ def _matmul9(a, b):
 
 
 def _frame_rgb(static, intr, settings, params, R_flat, cam_pos):
-    rows = jnp.repeat(jnp.arange(intr.height, dtype=jnp.float32),
-                      intr.width)
-    cols = jnp.tile(jnp.arange(intr.width, dtype=jnp.float32), intr.height)
-    d = camera_ray_dirs_dyn(intr, R_flat, rows, cols)
-    o = (jnp.broadcast_to(cam_pos[0], rows.shape),
-         jnp.broadcast_to(cam_pos[1], rows.shape),
-         jnp.broadcast_to(cam_pos[2], rows.shape))
+    from surfjax.core.camera import flat_camera_rays
+    o, d, _ = flat_camera_rays(intr, R_flat, cam_pos)
     fb = render_rays(static, settings, params, o, d)
     return fb.rgb.reshape(intr.height, intr.width, 3)
 

@@ -85,6 +85,7 @@ struct Scene {
   int ao_samples;
   float ao_radius, ao_strength;
   int shadows, soft_shadows, ao;
+  int fd_normals;  // settings.normals == "fd": FD tetrahedron everywhere
   Vec bg, ambient;
 
   const int32_t *objs;      // [engine, node_off, n_nodes, leaf_off,
@@ -115,7 +116,8 @@ bool mesh_intersect(const Scene &S, int obj_i, const Vec &o, const Vec &d,
   float t_best = BIG;
   int tri_best = -1;
   float ub = 0.0f, vb = 0.0f;
-  const float eps = 1e-9f;
+  // 1e-7: same determinant guard as every device path (see renderer.py)
+  const float eps = 1e-7f;
   for (int f = off; f < off + cnt; ++f) {
     const int32_t *fc = S.mesh_faces + 3 * f;
     const float *a = S.mesh_verts + 3 * fc[0];
@@ -498,7 +500,10 @@ Vec normal_fd(const Scene &S, const ObjView &O, const Vec &p) {
   return normalize({nx, ny, nz});
 }
 
-float soft_shadow(const Scene &S, const Vec &o, const Vec &d, float t_max) {
+float soft_shadow(const Scene &S, const Vec &o, const Vec &d, float t_max,
+                  float k) {
+  // k: per-ray penumbra sharpness — area lights pass dist/radius, else
+  // the global soft_shadow_k (same rule as renderer.py / frame.py)
   float t = S.soft_tmin;
   float res = 1.0f;
   // light nearer than t_min -> no shadow segment, visibility 1 (same
@@ -507,8 +512,8 @@ float soft_shadow(const Scene &S, const Vec &o, const Vec &d, float t_max) {
   for (int i = 0; i < S.shadow_steps; ++i) {
     Vec p{o.x + t * d.x, o.y + t * d.y, o.z + t * d.z};
     float h = scene_sdf_nonmesh(S, p);
-    float res_new = std::fmin(res, S.soft_k * h / t);
-    float s_allowed = (S.soft_k * h - res_new * t) / (S.soft_k + res_new);
+    float res_new = std::fmin(res, k * h / t);
+    float s_allowed = (k * h - res_new * t) / (k + res_new);
     float step = clampf(h, 1e-3f, std::fmax(0.5f, s_allowed));
     float t_new = t + step;
     res = res_new;
@@ -614,6 +619,7 @@ extern "C" void sj_golden_render(
   S.ao_samples = headeri[ii++];
   S.shadows = headeri[ii++]; S.soft_shadows = headeri[ii++];
   S.ao = headeri[ii++];
+  S.fd_normals = headeri[ii++];
 
   S.objs = objs; S.n_objs = n_objs;
   S.nodes = nodes; S.leaf_meta = leaf_meta;
@@ -659,13 +665,13 @@ extern "C" void sj_golden_render(
       Vec n_off_v{0.0f, 0.0f, 1.0f};
       if (hit) {
         ObjView O = obj_view(S, obj_id);
-        if (O.engine == ENGINE_ANALYTIC) {
+        if (O.engine == ENGINE_ANALYTIC && !S.fd_normals) {
           Vec ln = leaf_normal(S, O, leaf_id, p);
           float sgn = (float)S.leaf_meta[4 * (O.leaf_off + leaf_id) + 1];
           n = scale(ln, sgn);
           if (dot(n, d) > 0.0f) n = scale(n, -1.0f);
           n_off_v = n;
-        } else if (O.engine == ENGINE_SDF) {
+        } else if (O.engine == ENGINE_ANALYTIC || O.engine == ENGINE_SDF) {
           n = normal_fd(S, O, p);
           if (dot(n, d) > 0.0f) n = scale(n, -1.0f);
           n_off_v = n;
@@ -720,8 +726,26 @@ extern "C" void sj_golden_render(
           }
           float vis = 1.0f;
           if (S.shadows) {
-            if (S.soft_shadows) {
-              vis = soft_shadow(S, p_off, l, dist);
+            // the soft path applies only when a non-mesh object exists
+            // (renderer.py:727): the penumbra march sees only non-mesh
+            // SDFs; mesh occluders multiply in as hard shadows below
+            bool any_nonmesh = false;
+            for (int oi = 0; oi < S.n_objs; ++oi)
+              if (obj_view(S, oi).engine != ENGINE_MESH) any_nonmesh = true;
+            if (S.soft_shadows && any_nonmesh) {
+              float radius = (S.light_kinds[li] == LIGHT_POINT)
+                                 ? L[6] : 0.0f;
+              float k = radius > 0.0f ? dist / radius : S.soft_k;
+              vis = soft_shadow(S, p_off, l, dist, k);
+              for (int oi = 0; oi < S.n_objs; ++oi) {
+                if (obj_view(S, oi).engine != ENGINE_MESH) continue;
+                float t_m;
+                int tri;
+                float uu2, vv2;
+                if (mesh_intersect(S, oi, p_off, l, S.shadow_eps, dist,
+                                   &t_m, &tri, &uu2, &vv2) && t_m < dist)
+                  vis = 0.0f;
+              }
             } else {
               float t_s;
               int oo, ll;

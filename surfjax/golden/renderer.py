@@ -355,41 +355,42 @@ def _sdf_mandelbulb(n: api.Mandelbulb, p):
     escaped = m > bailout2
     tiny = F(1e-4)  # k3^7 must not underflow f32
     # escaped lanes overflow harmlessly (masked by `active`); mirror the
-    # silent masked-lane semantics of the device path
-    _err = np.errstate(invalid="ignore", over="ignore")
-    _err.__enter__()
-    for _ in range(n.iterations):
-        active = ~escaped
-        m2 = m * m
-        m4 = m2 * m2
-        dz_new = F(8.0) * np.sqrt((m4 * m2) * m) * dz + F(1.0)
-        x, y, z = wx, wy, wz
-        x2 = x * x
-        x4 = x2 * x2
-        y2 = y * y
-        y4 = y2 * y2
-        z2 = z * z
-        z4 = z2 * z2
-        k3 = x2 + z2
-        k3s = np.maximum(k3, tiny)
-        k37 = ((k3s * k3s) * (k3s * k3s)) * ((k3s * k3s) * k3s)
-        k2 = F(1.0) / np.sqrt(k37)
-        k1 = ((x4 + y4) + z4) - F(6.0) * (y2 * z2) \
-            - F(6.0) * (x2 * y2) + F(2.0) * (z2 * x2)
-        k4 = (x2 - y2) + z2
-        wx_new = px + F(64.0) * ((((x * y) * z) * (x2 - z2)) * k4) \
-            * ((x4 - F(6.0) * (x2 * z2)) + z4) * k1 * k2
-        wy_new = py + (F(-16.0) * (y2 * k3) * (k4 * k4) + k1 * k1)
-        wz_new = pz + F(-8.0) * (y * k4) \
-            * ((((x4 * x4) - F(28.0) * ((x4 * x2) * z2))
-                + F(70.0) * (x4 * z4))
-               - F(28.0) * ((x2 * z2) * z4) + (z4 * z4)) * k1 * k2
-        wx = np.where(active, wx_new, wx)
-        wy = np.where(active, wy_new, wy)
-        wz = np.where(active, wz_new, wz)
-        dz = np.where(active, dz_new, dz)
-        m = np.where(active, (wx * wx + wy * wy) + wz * wz, m)
-        escaped = escaped | (m > bailout2)
+    # silent masked-lane semantics of the device path. with-block so the
+    # thread's error state is restored (review r3: __enter__ without
+    # __exit__ leaked ignore-state into the whole process)
+    with np.errstate(invalid="ignore", over="ignore"):
+      for _ in range(n.iterations):
+          active = ~escaped
+          m2 = m * m
+          m4 = m2 * m2
+          dz_new = F(8.0) * np.sqrt((m4 * m2) * m) * dz + F(1.0)
+          x, y, z = wx, wy, wz
+          x2 = x * x
+          x4 = x2 * x2
+          y2 = y * y
+          y4 = y2 * y2
+          z2 = z * z
+          z4 = z2 * z2
+          k3 = x2 + z2
+          k3s = np.maximum(k3, tiny)
+          k37 = ((k3s * k3s) * (k3s * k3s)) * ((k3s * k3s) * k3s)
+          k2 = F(1.0) / np.sqrt(k37)
+          k1 = ((x4 + y4) + z4) - F(6.0) * (y2 * z2) \
+              - F(6.0) * (x2 * y2) + F(2.0) * (z2 * x2)
+          k4 = (x2 - y2) + z2
+          wx_new = px + F(64.0) * ((((x * y) * z) * (x2 - z2)) * k4) \
+              * ((x4 - F(6.0) * (x2 * z2)) + z4) * k1 * k2
+          wy_new = py + (F(-16.0) * (y2 * k3) * (k4 * k4) + k1 * k1)
+          wz_new = pz + F(-8.0) * (y * k4) \
+              * ((((x4 * x4) - F(28.0) * ((x4 * x2) * z2))
+                  + F(70.0) * (x4 * z4))
+                 - F(28.0) * ((x2 * z2) * z4) + (z4 * z4)) * k1 * k2
+          wx = np.where(active, wx_new, wx)
+          wy = np.where(active, wy_new, wy)
+          wz = np.where(active, wz_new, wz)
+          dz = np.where(active, dz_new, dz)
+          m = np.where(active, (wx * wx + wy * wy) + wz * wz, m)
+          escaped = escaped | (m > bailout2)
     r = np.sqrt(m)
     # max(m, 1e-30): same guard as engines/sdf (de exactly 0 at m == 0
     # instead of log(0)*0 = NaN); identical for every normal m
@@ -474,7 +475,10 @@ def _intersect_mesh_brute(mesh: api.TriangleMesh, o, d, t_min, t_max):
     faces = np.asarray(mesh.faces, np.int32)
     t_best = np.full_like(o[0], BIG)
     tri_best = np.zeros_like(o[0], dtype=np.int32)
-    eps = F(1e-9)
+    # 1e-7: the SAME determinant guard as every device path
+    # (engines/mesh.py, kernels/mesh_tile.py, parallel/ring_mesh.py) —
+    # a mismatched guard makes grazing-triangle hits golden-only
+    eps = F(1e-7)
     for fi in range(faces.shape[0]):
         v0 = verts[faces[fi, 0]]
         v1 = verts[faces[fi, 1]]

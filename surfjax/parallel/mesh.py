@@ -27,7 +27,7 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
-from surfjax.core.camera import Intrinsics, camera_ray_dirs_dyn
+from surfjax.core.camera import Intrinsics, flat_camera_rays
 from surfjax.core.types import FrameBuffers, RenderSettings
 from surfjax.pipeline.frame import render_rays
 
@@ -51,27 +51,34 @@ def initialize_distributed(**kw) -> None:
 
 def make_mesh(n_frame: int = 1, n_tile: Optional[int] = None,
               devices=None) -> Mesh:
-    """('frame', 'tile') device mesh. Defaults: all devices on 'tile'."""
+    """('frame', 'tile') device mesh. Defaults: all devices on 'tile'.
+    Raises when the requested shape cannot be built (review r3: silently
+    dropping devices or producing a zero-size axis surfaced as cryptic
+    reshape errors deep in shard_map)."""
     devices = list(devices if devices is not None else jax.devices())
+    if n_frame <= 0 or n_frame > len(devices):
+        raise ValueError(
+            f"n_frame={n_frame} must be in [1, {len(devices)}] "
+            f"(available devices)")
     if n_tile is None:
         n_tile = len(devices) // n_frame
+        if n_frame * n_tile != len(devices):
+            raise ValueError(
+                f"n_frame={n_frame} does not divide the device count "
+                f"{len(devices)}; pass n_tile explicitly to use a "
+                f"subset deliberately")
+    if n_tile <= 0 or n_frame * n_tile > len(devices):
+        raise ValueError(
+            f"mesh shape ({n_frame}, {n_tile}) needs "
+            f"{n_frame * n_tile} devices; have {len(devices)}")
     used = n_frame * n_tile
     return Mesh(np.asarray(devices[:used]).reshape(n_frame, n_tile),
                 ("frame", "tile"))
 
 
-def _flat_rays(intr: Intrinsics, R_flat, cam_pos, pad_to: int):
-    n = intr.width * intr.height
-    n_pad = ((n + pad_to - 1) // pad_to) * pad_to
-    rows = jnp.repeat(jnp.arange(intr.height, dtype=jnp.float32), intr.width)
-    cols = jnp.tile(jnp.arange(intr.width, dtype=jnp.float32), intr.height)
-    rows = jnp.pad(rows, (0, n_pad - n), mode="edge")
-    cols = jnp.pad(cols, (0, n_pad - n), mode="edge")
-    d = camera_ray_dirs_dyn(intr, R_flat, rows, cols)
-    o = (jnp.broadcast_to(cam_pos[0], rows.shape),
-         jnp.broadcast_to(cam_pos[1], rows.shape),
-         jnp.broadcast_to(cam_pos[2], rows.shape))
-    return o, d, n
+# canonical flat raygen lives in core/camera.py (one definition for
+# fit + sharded paths)
+_flat_rays = flat_camera_rays
 
 
 def _crop_reshape(fb: FrameBuffers, n: int, H: int, W: int) -> FrameBuffers:
@@ -83,17 +90,15 @@ def _crop_reshape(fb: FrameBuffers, n: int, H: int, W: int) -> FrameBuffers:
                         obj_id=fix(fb.obj_id))
 
 
-def render_frame_sharded(scene, camera, settings: RenderSettings = RenderSettings(),
-                         mesh: Optional[Mesh] = None) -> FrameBuffers:
-    """One frame, image tiles sharded over the mesh's 'tile' axis."""
-    mesh = mesh or make_mesh()
-    static, params = scene.freeze()
-    params = {k: jnp.asarray(v) for k, v in params.items()}
-    intr = camera.intrinsics
+@functools.lru_cache(maxsize=32)
+def _sharded_frame_fn(static, settings, intr, mesh):
+    """Jitted sharded-frame executable, cached on the static key so
+    repeated per-frame calls reuse the compiled program (review r3: a
+    per-call closure defeated jax.jit's cache)."""
     n_tile = mesh.shape["tile"] * mesh.shape["frame"]
     spec_rays = P(("frame", "tile"))  # fold both axes over the ray dim
 
-    @functools.partial(jax.jit, static_argnums=())
+    @jax.jit
     def run(params, R_flat, cam_pos):
         o, d, _ = _flat_rays(intr, R_flat, cam_pos, pad_to=n_tile)
         fn = shard_map(
@@ -103,10 +108,21 @@ def render_frame_sharded(scene, camera, settings: RenderSettings = RenderSetting
             out_specs=FrameBuffers(rgb=spec_rays, depth=spec_rays,
                                    normal=spec_rays, hit=spec_rays,
                                    obj_id=spec_rays),
-            check_vma=False,  # pallas_call outputs carry no varying-axis metadata
+            check_vma=False,  # pallas outputs carry no varying-axis metadata
         )
         return fn(params, o, d)
 
+    return run
+
+
+def render_frame_sharded(scene, camera, settings: RenderSettings = RenderSettings(),
+                         mesh: Optional[Mesh] = None) -> FrameBuffers:
+    """One frame, image tiles sharded over the mesh's 'tile' axis."""
+    mesh = mesh or make_mesh()
+    static, params = scene.freeze()
+    params = {k: jnp.asarray(v) for k, v in params.items()}
+    intr = camera.intrinsics
+    run = _sharded_frame_fn(static, settings, intr, mesh)
     R_flat = jnp.asarray(np.asarray(camera.rotation, np.float32).reshape(9))
     cam_pos = jnp.asarray(np.asarray(camera.position, np.float32))
     fb = run(params, R_flat, cam_pos)
@@ -114,25 +130,14 @@ def render_frame_sharded(scene, camera, settings: RenderSettings = RenderSetting
     return _crop_reshape(fb, n, intr.height, intr.width)
 
 
-def render_sequence_sharded(scene, camera, poses,
-                            settings: RenderSettings = RenderSettings(),
-                            mesh: Optional[Mesh] = None):
-    """Animation batch: frames shard over 'frame', rays over 'tile'
-    [BASELINE.json:11] — fully on-device, one gather at the end."""
-    mesh = mesh or make_mesh(n_frame=min(jax.device_count(), 2))
-    static, params = scene.freeze()
-    params = {k: jnp.asarray(v) for k, v in params.items()}
-    intr = camera.intrinsics
-    R_flats, positions = poses
-    R_flats = jnp.asarray(R_flats, jnp.float32)
-    positions = jnp.asarray(positions, jnp.float32)
-    F = R_flats.shape[0]
+@functools.lru_cache(maxsize=32)
+def _sharded_sequence_fn(static, settings, intr, mesh):
+    """Jitted sharded-sequence executable, cached like _sharded_frame_fn
+    (jax.jit then caches per pose-batch shape)."""
     n_frame = mesh.shape["frame"]
     n_tile = mesh.shape["tile"]
-    assert F % n_frame == 0, (
-        f"frame count {F} must divide the 'frame' axis {n_frame}")
 
-    @functools.partial(jax.jit, static_argnums=())
+    @jax.jit
     def run(params, R_flats, positions):
         def per_device(p, Rs, ts):
             render_local = _render_fn(static, settings)
@@ -160,6 +165,28 @@ def render_sequence_sharded(scene, camera, poses,
         )
         return fn(params, R_flats, positions)
 
+    return run
+
+
+def render_sequence_sharded(scene, camera, poses,
+                            settings: RenderSettings = RenderSettings(),
+                            mesh: Optional[Mesh] = None):
+    """Animation batch: frames shard over 'frame', rays over 'tile'
+    [BASELINE.json:11] — fully on-device, one gather at the end."""
+    mesh = mesh or make_mesh(n_frame=min(jax.device_count(), 2),
+                             n_tile=jax.device_count()
+                             // min(jax.device_count(), 2))
+    static, params = scene.freeze()
+    params = {k: jnp.asarray(v) for k, v in params.items()}
+    intr = camera.intrinsics
+    R_flats, positions = poses
+    R_flats = jnp.asarray(R_flats, jnp.float32)
+    positions = jnp.asarray(positions, jnp.float32)
+    F = R_flats.shape[0]
+    n_frame = mesh.shape["frame"]
+    assert F % n_frame == 0, (
+        f"frame count {F} must divide the 'frame' axis {n_frame}")
+    run = _sharded_sequence_fn(static, settings, intr, mesh)
     fb = run(params, R_flats, positions)
     n = intr.width * intr.height
     H, W = intr.height, intr.width
