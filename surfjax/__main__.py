@@ -70,7 +70,8 @@ def cmd_animate(args):
     scene, camera, settings, extras = _load(args)
     anim = extras.get("animation") or {
         "type": "orbit", "frames": 16, "radius": 4.0, "height": -1.0}
-    n = int(args.frames or anim.get("frames", 16))
+    n = int(anim.get("frames", 16) if args.frames is None
+            else args.frames)
     thetas = jnp.linspace(0.0, 2.0 * np.pi, n, endpoint=False)
     Rs, ts = jax.vmap(lambda th: orbit_pose(
         jnp.float32(anim.get("radius", 4.0)),
@@ -125,7 +126,8 @@ def cmd_fit(args):
     scene, camera, settings, extras = _load(args)
     fit_cfg = extras.get("fit", {})
     mode = args.mode or fit_cfg.get("type", "pose")
-    steps = args.steps or int(fit_cfg.get("steps", 100))
+    steps = (int(fit_cfg.get("steps", 100)) if args.steps is None
+             else args.steps)
     lr = float(fit_cfg.get("lr", 2e-2))
 
     target = np.asarray(render_frame(scene, camera, settings).rgb)

@@ -88,7 +88,9 @@ class Sphere(SceneNode):
 
 @dataclasses.dataclass(frozen=True)
 class Plane(SceneNode):
-    """Halfspace dot(normal, p) <= offset (solid below the normal)."""
+    """Halfspace dot(normal, p) <= offset (solid below the normal).
+    The normal need not be unit length: compilation normalizes it and
+    rescales the offset so the documented surface is preserved."""
     normal: Vec3f
     offset: float = 0.0
 

@@ -27,8 +27,32 @@ from surfjax.core.types import RenderSettings
 _CONFIG_DIR = [None]  # set by load_config for config-relative obj paths
 
 
+_NODE_KEYS = {
+    "sphere": {"type", "center", "radius"},
+    "plane": {"type", "normal", "offset"},
+    "box": {"type", "center", "half_extents"},
+    "mandelbulb": {"type", "center", "scale", "power", "iterations",
+                   "bailout"},
+    "mesh": {"type", "generate", "subdivisions", "obj", "scale",
+             "translate", "smooth", "grid_res"},
+    "union": {"type", "a", "b"}, "intersect": {"type", "a", "b"},
+    "subtract": {"type", "a", "b"},
+    "smooth_union": {"type", "a", "b", "k"},
+    "smooth_intersect": {"type", "a", "b", "k"},
+    "smooth_subtract": {"type", "a", "b", "k"},
+}
+
+
 def _node(d: dict) -> api.SceneNode:
     t = d["type"]
+    # loud unknown-key validation, same policy as the settings block
+    # (review r3: a typoed node key — or a real field like mandelbulb
+    # bailout — was silently dropped)
+    if t in _NODE_KEYS:
+        unknown = set(d) - _NODE_KEYS[t]
+        if unknown:
+            raise ValueError(
+                f"unknown keys for node type {t!r}: {sorted(unknown)}")
     if t == "sphere":
         return api.Sphere(tuple(d["center"]), float(d["radius"]))
     if t == "plane":
@@ -39,7 +63,8 @@ def _node(d: dict) -> api.SceneNode:
         return api.Mandelbulb(tuple(d.get("center", (0, 0, 0))),
                               float(d.get("scale", 1.0)),
                               int(d.get("power", 8)),
-                              int(d.get("iterations", 8)))
+                              int(d.get("iterations", 8)),
+                              float(d.get("bailout", 2.0)))
     if t == "mesh":
         gen = d.get("generate")
         if gen == "octasphere":
@@ -55,7 +80,10 @@ def _node(d: dict) -> api.SceneNode:
             raise ValueError("mesh node needs generate: or obj:")
         v = np.asarray(v, np.float32) * float(d.get("scale", 1.0))
         v = v + np.asarray(d.get("translate", (0, 0, 0)), np.float32)
-        return api.TriangleMesh(vertices=v, faces=f)
+        return api.TriangleMesh(
+            vertices=v, faces=f,
+            grid_res=(tuple(d["grid_res"]) if "grid_res" in d else None),
+            smooth=bool(d.get("smooth", True)))
     if t in ("union", "intersect", "subtract"):
         fn = {"union": api.union, "intersect": api.intersect,
               "subtract": api.subtract}[t]
@@ -96,7 +124,15 @@ def load_obj(path: str):
             if not parts:
                 continue
             if parts[0] == "v":
-                verts.append([float(x) for x in parts[1:4]])
+                # skip malformed short rows, matching obj_loader.cpp
+                # (review r3: a 2-coord row made np.asarray ragged)
+                if len(parts) < 4:
+                    continue
+                try:
+                    row = [float(x) for x in parts[1:4]]
+                except ValueError:
+                    continue
+                verts.append(row)
             elif parts[0] == "f":
                 # OBJ indices are 1-based; negative = relative to the
                 # vertex count so far (matching the native parser)

@@ -109,9 +109,13 @@ def _leaf_row(node: SceneNode) -> Tuple[int, np.ndarray, int, int]:
         return LEAF_SPHERE, row, 0, 0
     if isinstance(node, Plane):
         n = np.asarray(node.normal, np.float64)
-        n = n / np.sqrt(np.dot(n, n))
+        ln = np.sqrt(np.dot(n, n))
+        n = n / ln
         row[0:3] = n.astype(np.float32)
-        row[3] = node.offset
+        # the surface is dot(normal, p) == offset; normalizing the normal
+        # rescales the equation, so the offset divides by |normal| too
+        # (review r3: a non-unit normal silently shifted the plane)
+        row[3] = np.float32(float(node.offset) / ln)
         return LEAF_PLANE, row, 0, 0
     if isinstance(node, Box):
         row[0:3] = node.center

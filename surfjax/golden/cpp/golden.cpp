@@ -755,7 +755,10 @@ extern "C" void sj_golden_render(
           }
           float ndotl = std::fmax(dot(n, l), 0.0f);
           float diffc = kd * ndotl;
-          Vec hv = normalize({l.x + v.x, l.y + v.y, l.z + v.z});
+          // guarded half-vector (see shade.py: l == -v would NaN)
+          Vec hh{l.x + v.x, l.y + v.y, l.z + v.z};
+          float inv_h = 1.0f / std::sqrt(std::fmax(dot(hh, hh), 1e-20f));
+          Vec hv = scale(hh, inv_h);
           float ndoth = std::fmax(dot(n, hv), 0.0f);
           float spec = ks * pow_int(ndoth, O.shininess);
           acc[0] = acc[0] + vis * L[3] * (diffc * alb[0] + spec * spc[0]);

@@ -148,8 +148,10 @@ def _leaf_interval(leaf: _Leaf, o, d):
         return _quad_roots(b, cc)
     if isinstance(n, api.Plane):
         nrm = np.asarray(n.normal, np.float64)
-        nrm = (nrm / np.sqrt(np.dot(nrm, nrm))).astype(np.float32)
-        off = F(n.offset)
+        ln = np.sqrt(np.dot(nrm, nrm))
+        nrm = (nrm / ln).astype(np.float32)
+        # offset rescales with the normal (see scene_compile._leaf_row)
+        off = F(float(n.offset) / ln)
         denom = _dot((F(nrm[0]), F(nrm[1]), F(nrm[2])), d)
         no = _dot((F(nrm[0]), F(nrm[1]), F(nrm[2])), o)
         safe = np.where(denom == F(0.0), F(1.0), denom)
@@ -278,8 +280,11 @@ def _leaf_sdf(leaf: _Leaf, p):
         return np.sqrt(_dot(q, q)) - F(n.radius)
     if isinstance(n, api.Plane):
         nrm = np.asarray(n.normal, np.float64)
-        nrm = (nrm / np.sqrt(np.dot(nrm, nrm))).astype(np.float32)
-        return _dot((F(nrm[0]), F(nrm[1]), F(nrm[2])), p) - F(n.offset)
+        ln = np.sqrt(np.dot(nrm, nrm))
+        nrm = (nrm / ln).astype(np.float32)
+        # offset rescales with the normal (see scene_compile._leaf_row)
+        return (_dot((F(nrm[0]), F(nrm[1]), F(nrm[2])), p)
+                - F(float(n.offset) / ln))
     if isinstance(n, api.Box):
         c = tuple(F(v) for v in n.center)
         h = tuple(F(v) for v in n.half_extents)
@@ -773,7 +778,10 @@ def render(scene: api.Scene, camera: api.Camera,
         for (l, lcol, vis) in light_terms:
             ndotl = np.maximum(_dot(n, l), F(0.0))
             diff = kd * ndotl
-            h = _normalize((l[0] + v[0], l[1] + v[1], l[2] + v[2]))
+            # guarded half-vector (see shade.py: l == -v would NaN)
+            hh = (l[0] + v[0], l[1] + v[1], l[2] + v[2])
+            inv_h = F(1.0) / np.sqrt(np.maximum(_dot(hh, hh), F(1e-20)))
+            h = (hh[0] * inv_h, hh[1] * inv_h, hh[2] * inv_h)
             ndoth = np.maximum(_dot(n, h), F(0.0))
             spec = ks * _pow_int(ndoth, m.shininess)
             ri = ri + vis * lcol[0] * (diff * alb[0] + spec * spc[0])

@@ -14,8 +14,12 @@ import numpy as np
 
 
 def tonemap_u8(rgb: np.ndarray) -> np.ndarray:
-    """Linear -> sRGB-ish gamma 2.2, clipped to u8."""
-    x = np.clip(np.asarray(rgb, np.float32), 0.0, 1.0)
+    """Linear -> sRGB-ish gamma 2.2, clipped to u8. NaN pixels map to 0
+    deterministically (np.clip propagates NaN and float->uint8 casts of
+    NaN are platform-defined garbage)."""
+    x = np.nan_to_num(np.asarray(rgb, np.float32), nan=0.0,
+                      posinf=1.0, neginf=0.0)
+    x = np.clip(x, 0.0, 1.0)
     x = x ** (1.0 / 2.2)
     return (x * 255.0 + 0.5).astype(np.uint8)
 

@@ -40,7 +40,15 @@ def shade_object(mat_row, shininess: int, ambient, ao, n, v, light_terms):
     for (l, lcol, vis) in light_terms:
         ndotl = jnp.maximum(vdot(n, l), F32(0.0))
         diff = kd * ndotl
-        h = vnormalize((l[0] + v[0], l[1] + v[1], l[2] + v[2]))
+        # guarded half-vector: l == -v (light exactly behind the view
+        # ray) makes l+v zero and an unguarded normalize NaNs the pixel
+        # even at ks == 0; max() is identity for every non-degenerate
+        # pair, and the degenerate one gets ndoth = 0 -> spec = 0.
+        # Same guard in renderer.py and golden.cpp (review r3).
+        hx, hy, hz = l[0] + v[0], l[1] + v[1], l[2] + v[2]
+        inv_h = F32(1.0) / jnp.sqrt(
+            jnp.maximum(vdot((hx, hy, hz), (hx, hy, hz)), F32(1e-20)))
+        h = (hx * inv_h, hy * inv_h, hz * inv_h)
         ndoth = jnp.maximum(vdot(n, h), F32(0.0))
         spec = ks * pow_int(ndoth, shininess)
         r = r + vis * lcol[0] * (diff * alb[0] + spec * spc[0])
