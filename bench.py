@@ -18,8 +18,11 @@ Two fidelity modes are measured and reported every run:
                  error bounds in core/types.py — conservative darkening,
                  q99 visibility diff 3.9e-3).
   value_exact  — both LoDs forced to 0: every secondary march evaluates
-                 the full DE, the mode whose output is tolerance-true to
-                 the golden oracles at default settings.
+                 the full DE. NOTE this mode keeps the config's
+                 over_relax (1.6), i.e. it is "full-DE, relaxed
+                 trajectory", not oracle-trajectory (r3 verdict Weak #2).
+  value_oracle_traj — LoDs 0 AND over_relax=1.0: the exact settings the
+                 golden parity tests compare against the oracles.
 The mode parameters (secondary_lod_iters / ao_lod_iters / over_relax) are
 disclosed in the JSON so the headline number is never ambiguous about
 what it measured. mrays_primary_shadow excludes AO probes (the cheapest
@@ -140,6 +143,16 @@ def run_bench(config: str | None = None, repeats: int = 3,
     exact = settings.with_(secondary_lod_iters=0, ao_lod_iters=0)
     dt_exact, _ = _time_mode(static, intr, exact, params, R_flat,
                              positions, repeats)
+    # value_exact means "full-DE, relaxed trajectory": it zeroes both LoDs
+    # but keeps the config's over_relax (1.6), whose eps-band hit
+    # decorrelation contributes ~2.7e-2 of c3's q99 vs the oracles (see
+    # docs/COMPONENTS.md "c3 fidelity decomposition"). The third mode
+    # below ALSO sets over_relax=1.0 — the oracle-trajectory settings the
+    # golden parity tests run at — so no mode name overclaims (r3 verdict
+    # Weak #2).
+    oracle_traj = exact.with_(over_relax=1.0)
+    dt_oracle, _ = _time_mode(static, intr, oracle_traj, params, R_flat,
+                              positions, repeats)
 
     primary = float(width * height)
     shadow = n_hits * len(scene.lights) if settings.shadows else 0.0
@@ -148,6 +161,7 @@ def run_bench(config: str | None = None, repeats: int = 3,
 
     mrays = rpf / dt / 1e6
     mrays_exact = rpf / dt_exact / 1e6
+    mrays_oracle = rpf / dt_oracle / 1e6
     n_dev = jax.local_device_count()
     return {
         "metric": ("Mrays/sec/chip at 1080p (256-step trace); "
@@ -160,6 +174,11 @@ def run_bench(config: str | None = None, repeats: int = 3,
         # golden-tolerance-true one; see module docstring)
         "value_exact": round(mrays_exact, 3),
         "vs_baseline_exact": round(mrays_exact / TARGET_MRAYS, 4),
+        # oracle-trajectory mode: LoDs 0 AND over_relax=1.0 (the exact
+        # settings the golden parity tests run at; value_exact keeps the
+        # config's relax=1.6 and is "full-DE, relaxed trajectory")
+        "value_oracle_traj": round(mrays_oracle, 3),
+        "vs_baseline_oracle_traj": round(mrays_oracle / TARGET_MRAYS, 4),
         # composition check: the metric without AO probes (one 4-tap
         # probe per direction is far cheaper than a 256-step trace)
         "mrays_primary_shadow": round((primary + shadow) / dt / 1e6, 3),
@@ -176,6 +195,7 @@ def run_bench(config: str | None = None, repeats: int = 3,
         "ao_rays": int(ao),
         "frame_time_s": round(dt, 5),
         "frame_time_exact_s": round(dt_exact, 5),
+        "frame_time_oracle_traj_s": round(dt_oracle, 5),
         "frames_per_dispatch": n_frames,
         "backend": jax.default_backend(),
         "devices": n_dev,
@@ -183,7 +203,52 @@ def run_bench(config: str | None = None, repeats: int = 3,
     }
 
 
+def _last_good_history_row() -> dict | None:
+    """Most recent TPU row of benchmarks/history.jsonl, for context in the
+    unavailable-backend error line (the relay being down says nothing
+    about the renderer's speed; the last good measurement does)."""
+    import os
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "benchmarks", "history.jsonl")
+    last = None
+    try:
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    row = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                if row.get("backend") == "tpu":
+                    last = row
+    except OSError:
+        return None
+    return last
+
+
 def main():
+    # Round-3 postmortem (VERDICT.md Missing #1): with the axon relay down,
+    # the first backend touch hangs ~28 min inside plugin init. Probe with
+    # a watchdog subprocess and fail FAST with a structured line instead.
+    from surfjax.utils.backend_probe import probe_backend
+
+    probe = probe_backend()
+    if not probe.get("ok"):
+        err = {
+            "metric": ("Mrays/sec/chip at 1080p (256-step trace); "
+                       "frames/sec incl. shadow rays"),
+            "value": None,
+            "unit": "Mrays/s/chip",
+            "vs_baseline": None,
+            "backend": "unavailable",
+            "error": probe.get("error", "backend probe failed"),
+            "last_good": _last_good_history_row(),
+        }
+        print(json.dumps(err))
+        sys.exit(1)
+
     config = sys.argv[1] if len(sys.argv) > 1 else None
     result = run_bench(config=config)
     print(json.dumps(result))

@@ -118,6 +118,36 @@ def fit_pose(scene, camera, target_rgb, steps: int = 100, lr: float = 2e-2,
     return np.asarray(R), np.asarray(t0 + x["dt"]), losses
 
 
+def pose_loss_and_grad(scene, camera, settings: RenderSettings,
+                       w=(0.02, -0.01, 0.015), dt=(0.01, -0.02, 0.005),
+                       target_value: float = 0.5):
+    """One pose-fit loss+gradient evaluation at a FIXED probe point.
+
+    Used by the device fidelity gate (tools/fidelity_matrix.py --check,
+    c5 row): the same deterministic computation runs on the TPU pallas
+    path and on a forced-CPU jnp reference, and the results must agree
+    to tolerance. The target is a constant image (no cross-backend
+    render dependence) and the probe (w, dt) is fixed and nonzero so the
+    gradient is generic. Returns (loss, grad dict {'w','dt'}) as numpy.
+    """
+    static, params = scene.freeze()
+    params = {k: jnp.asarray(v) for k, v in params.items()}
+    intr = camera.intrinsics
+    R0 = jnp.asarray(np.asarray(camera.rotation, np.float32).reshape(9))
+    t0 = jnp.asarray(np.asarray(camera.position, np.float32))
+    target = jnp.full((intr.height, intr.width, 3), np.float32(target_value))
+
+    def loss_fn(x):
+        R = _matmul9(rodrigues(x["w"]), R0)
+        rgb = _frame_rgb(static, intr, settings, params, R, t0 + x["dt"])
+        diff = rgb - target
+        return jnp.mean(diff * diff)
+
+    x = {"w": jnp.asarray(w, jnp.float32), "dt": jnp.asarray(dt, jnp.float32)}
+    loss, g = jax.jit(jax.value_and_grad(loss_fn))(x)
+    return float(loss), {k: np.asarray(v) for k, v in g.items()}
+
+
 def fit_sdf(scene, camera, target_rgb, steps: int = 200, lr: float = 1e-2,
             settings: RenderSettings = RenderSettings(),
             param_mask: Optional[np.ndarray] = None,

@@ -106,6 +106,9 @@ struct Scene {
   const int32_t *mesh_faces; // (F, 3)
   const int32_t *mesh_obj;   // per scene object: [face_off, face_cnt,
                              //  smooth] x n_objs (zeros for non-mesh)
+  // derived at setup (scene-level constants; advisor r3: was recomputed
+  // per light per pixel inside the threaded render loop)
+  bool any_nonmesh;
 };
 
 bool mesh_intersect(const Scene &S, int obj_i, const Vec &o, const Vec &d,
@@ -629,6 +632,10 @@ extern "C" void sj_golden_render(
   S.mesh_verts = mesh_verts; S.mesh_vnorm = mesh_vnorm;
   S.mesh_faces = mesh_faces; S.mesh_obj = mesh_obj;
 
+  S.any_nonmesh = false;
+  for (int oi = 0; oi < S.n_objs; ++oi)
+    if (obj_view(S, oi).engine != ENGINE_MESH) S.any_nonmesh = true;
+
   // Per-pixel independent (every iteration writes only its own idx), so
   // row-strided threading is bitwise-exact — the per-pixel arithmetic is
   // untouched. Thread count: SJ_GOLDEN_THREADS env or hardware
@@ -729,10 +736,7 @@ extern "C" void sj_golden_render(
             // the soft path applies only when a non-mesh object exists
             // (renderer.py:727): the penumbra march sees only non-mesh
             // SDFs; mesh occluders multiply in as hard shadows below
-            bool any_nonmesh = false;
-            for (int oi = 0; oi < S.n_objs; ++oi)
-              if (obj_view(S, oi).engine != ENGINE_MESH) any_nonmesh = true;
-            if (S.soft_shadows && any_nonmesh) {
+            if (S.soft_shadows && S.any_nonmesh) {
               float radius = (S.light_kinds[li] == LIGHT_POINT)
                                  ? L[6] : 0.0f;
               float k = radius > 0.0f ? dist / radius : S.soft_k;

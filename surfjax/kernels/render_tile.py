@@ -167,10 +167,22 @@ BULB_BOUND_COVER = 1.3
 BULB_BOUND_LOWER = 1.39
 
 
-def _leaf_bound_scalars(lf, lp, lower: bool = False):
+def _leaf_bound_scalars(lf, lp, lower: bool = False,
+                        cover_margin: float | None = None):
     """(cx, cy, cz, radius) scalars for one bounded leaf. lower=True
     returns a sphere whose SDF pointwise lower-bounds the leaf SDF
-    (see BULB_BOUND_LOWER); lower=False a hit-region cover."""
+    (see BULB_BOUND_LOWER); lower=False a hit-region cover.
+
+    cover_margin (cover mode only): the worst-case hit epsilon the caller
+    will gate against. The 1.3 bulb COVER is validated to contain
+    {DE < eps} only for eps <= 0.045*scale (test_bulb_bound_constants);
+    outside that regime the radius falls back (traced, per-leaf — robust
+    against fit loops perturbing scale) to the pointwise LOWER bound
+    inflated by the margin, which covers {DE < m} for ANY m
+    (h_lower <= DE  =>  DE < m  =>  |p-c| < R_lower + m).
+    Advisor r3: the shadow segment skip applied the 1.3 cover
+    unconditionally, silently under-occluding at hit_eps_scale*t_max
+    beyond ~0.045*scale."""
     from surfjax.core.scene_compile import (
         LEAF_BOX, LEAF_MANDELBULB, LEAF_SPHERE,
     )
@@ -181,12 +193,19 @@ def _leaf_bound_scalars(lf, lp, lower: bool = False):
         r = jnp.sqrt((prm[3] * prm[3] + prm[4] * prm[4]) + prm[5] * prm[5])
         return prm[0], prm[1], prm[2], r
     if lf.kind == LEAF_MANDELBULB:
-        f = BULB_BOUND_LOWER if lower else BULB_BOUND_COVER
-        return prm[0], prm[1], prm[2], prm[3] * F32(f)
+        if lower:
+            return prm[0], prm[1], prm[2], prm[3] * F32(BULB_BOUND_LOWER)
+        r_cover = prm[3] * F32(BULB_BOUND_COVER)
+        if cover_margin is not None:
+            r_safe = prm[3] * F32(BULB_BOUND_LOWER) + F32(cover_margin)
+            r_cover = jnp.where(
+                F32(cover_margin) <= F32(0.045) * prm[3], r_cover, r_safe)
+        return prm[0], prm[1], prm[2], r_cover
     return None
 
 
-def _object_bound(oir, lp, nparams, lower: bool = False):
+def _object_bound(oir, lp, nparams, lower: bool = False,
+                  cover_margin: float | None = None):
     """Bounding sphere scalars of one SDF object, or None if unboundable.
 
     Smooth unions can push the surface outward by at most k/4 (polynomial
@@ -194,11 +213,15 @@ def _object_bound(oir, lp, nparams, lower: bool = False):
     pointwise-lower-bound radius for iterated-DE leaves (see
     _leaf_bound_scalars) — callers gating on h_bound <= sdf everywhere
     (influence windows, AO far gate, proxy march) MUST pass lower=True.
+    Callers gating hit registration against a cover (segment skips,
+    entry/exit clips) MUST pass their worst-case hit epsilon as
+    cover_margin so iterated-DE covers stay valid at large epsilons.
     """
     from surfjax.core.scene_compile import LEAF_PLANE
     if any(lf.kind == LEAF_PLANE for lf in oir.leaves):
         return None
-    bounds = [_leaf_bound_scalars(lf, lp, lower=lower)
+    bounds = [_leaf_bound_scalars(lf, lp, lower=lower,
+                                  cover_margin=cover_margin)
               for lf in oir.leaves]
     if any(b is None for b in bounds):
         return None
@@ -679,7 +702,7 @@ def trace_core(static, settings: RenderSettings, lp, nparams, o, d,
             # every boundable object gets the closed-form sphere
             # entry/exit (see _bound_entry); unboundable ones (plane
             # leaves) march from t_start directly
-            b_i = _object_bound(oir, lp, nparams)
+            b_i = _object_bound(oir, lp, nparams, cover_margin=exit_margin)
             park_i = _park_point(oir, lp)
             shell_i = _bulb_entry_shell(oir, lp, exit_margin)
 
@@ -969,12 +992,6 @@ def visibility_core(static, settings: RenderSettings, lp, nparams,
             sdf_i = (lambda oir=oir: lambda p: eval_sdf(
                 oir, lp, nparams, p, leaf_fn=leaf_sdf_fast))()
             dist_i = jnp.where(vis <= F32(0.0), F32(0.0), dist)
-            # hard-shadow gating needs only the hit-region COVER: an
-            # occlusion (h < eps) implies the point is inside the cover
-            # sphere, so both the segment skip and the entry/exit clip
-            # are sound with the tighter radius
-            b = _object_bound(oir, lp, nparams)
-            park_i = _park_point(oir, lp)
             # shadow marches use the same cone epsilon as the jnp twin
             # and goldens (sphere_trace(..., hit_eps_scale) on the
             # shadow path); the skip/entry margins below are widened to
@@ -983,6 +1000,13 @@ def visibility_core(static, settings: RenderSettings, lp, nparams,
             # kernel under-occlude vs the oracles at eps_scale > 0)
             eps_margin = settings.hit_eps + settings.hit_eps_scale * float(
                 settings.t_max)
+            # hard-shadow gating needs only the hit-region COVER: an
+            # occlusion (h < eps_eff <= eps_margin) implies the point is
+            # inside the margin-validated cover sphere, so both the
+            # segment skip and the entry/exit clip are sound (advisor r3:
+            # cover_margin keeps this true past eps ~ 0.045*bulb scale)
+            b = _object_bound(oir, lp, nparams, cover_margin=eps_margin)
+            park_i = _park_point(oir, lp)
             if b is not None:
                 # segment clears the bound by more than the worst-case
                 # hit epsilon: the march cannot register an occlusion

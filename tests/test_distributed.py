@@ -48,20 +48,26 @@ def test_two_process_distributed_render(tmp_path):
     # full stdout pipe (while the parent reads the other) would stall
     # the whole cluster — a 9-minute flake under verbose logging
     logs = [tmp_path / f"worker{pid}.log" for pid in range(2)]
-    procs = [
-        subprocess.Popen(
-            [sys.executable, worker, str(pid), "2", str(port), out],
-            env=env, stdout=open(logs[pid], "w"),
-            stderr=subprocess.STDOUT, cwd=root)
-        for pid in range(2)
-    ]
-    for p in procs:
-        try:
-            p.wait(timeout=540)
-        except subprocess.TimeoutExpired:
-            for q in procs:
-                q.kill()
-            pytest.fail("distributed worker timed out")
+    handles = [open(lg, "w") for lg in logs]
+    try:
+        procs = [
+            subprocess.Popen(
+                [sys.executable, worker, str(pid), "2", str(port), out],
+                env=env, stdout=handles[pid],
+                stderr=subprocess.STDOUT, cwd=root)
+            for pid in range(2)
+        ]
+        for p in procs:
+            try:
+                p.wait(timeout=540)
+            except subprocess.TimeoutExpired:
+                for q in procs:
+                    q.kill()
+                pytest.fail("distributed worker timed out")
+    finally:
+        # close (and flush) before reading the logs back (advisor r3)
+        for h in handles:
+            h.close()
     outputs = [lg.read_text() for lg in logs]
     refused = any(
         ("UNIMPLEMENTED" in o or "does not support" in o

@@ -2,10 +2,25 @@
 """Performance regression gate (SURVEY.md §4.7).
 
 Runs the bench, appends to benchmarks/history.jsonl, and exits nonzero if
-the new number regresses >10% against the best recorded value. Only
-meaningful on real TPU runners; skips (exit 0) on other backends.
+any gated number regresses >10% against the best recorded value. Only
+meaningful on real TPU runners; skips (exit 0) on other backends; exits 2
+fast if the backend probe fails (a dead relay must not hang the gate —
+r3 postmortem, VERDICT.md Missing #1).
+
+Gated workloads (r4, verdict Weak #6 — one row per workload class so a
+mesh-path or CSG-path regression trips a gate, not just the c3 headline):
+  headline    bench.py metric workload — `value`, `value_exact`, and
+              `value_oracle_traj` gate independently
+  c2          CSG 512^2 (config2 fixture)         — mrays_per_s
+  c4_fixture  128-tri mesh 1080p fixture          — mrays_per_s
+  c4_config   8192-tri mesh 1080p (c4_mesh.yaml)  — mrays_per_s
+
+Aux rows are stored in the same history.jsonl tagged "workload": "...";
+headline rows keep the untagged bench.py dict shape for continuity with
+rounds 1-3.
 
     python tools/perf_check.py [--config CONFIG] [--threshold 0.10]
+                               [--record-only] [--headline-only]
 """
 
 from __future__ import annotations
@@ -19,52 +34,104 @@ _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, _ROOT)  # bench.py lives at the repo root
 HIST = os.path.join(_ROOT, "benchmarks", "history.jsonl")
 
+HEADLINE_KEYS = ("value", "value_exact", "value_oracle_traj")
+AUX_WORKLOADS = ("c2", "c4_fixture", "c4_config")
+
+
+def _load_history():
+    rows = []
+    if os.path.exists(HIST):
+        with open(HIST) as fh:
+            for line in fh:
+                line = line.strip()
+                if line:
+                    rows.append(json.loads(line))
+    return rows
+
+
+def _best(rows, workload, key):
+    best = None
+    for rec in rows:
+        if rec.get("workload", "headline" if "value" in rec else None) \
+                != workload:
+            continue
+        v = rec.get(key)
+        if v is not None and (best is None or v > best):
+            best = v
+    return best
+
+
+def _run_aux(name: str):
+    """-> tagged history row for one aux workload class."""
+    from tools.bench_all import bench_scene
+    from tests.scenes import config2_csg, config4_mesh
+    from surfjax.config import load_config
+
+    if name == "c2":
+        sc, cam, st = config2_csg(512)
+        row = bench_scene(sc, cam, st, 2, "c2 csg 512^2", batch=32)
+    elif name == "c4_fixture":
+        sc, cam, st = config4_mesh(1920, 1080)
+        row = bench_scene(sc, cam, st, 1, "c4 FIXTURE mesh (128 tris) 1080p")
+    elif name == "c4_config":
+        sc, cam, st, _ = load_config(
+            os.path.join(_ROOT, "configs", "c4_mesh.yaml"))
+        row = bench_scene(sc, cam, st, 1, "c4 CONFIG mesh (8192 tris) 1080p")
+    else:
+        raise ValueError(name)
+    row["workload"] = name
+    return row
+
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default=None)
     ap.add_argument("--threshold", type=float, default=0.10)
     ap.add_argument("--record-only", action="store_true")
+    ap.add_argument("--headline-only", action="store_true",
+                    help="skip the aux workload rows (c2/c4)")
     args = ap.parse_args()
 
-    from bench import run_bench
-    import jax
-    if jax.default_backend() != "tpu":
+    from surfjax.utils.backend_probe import probe_backend
+    probe = probe_backend()
+    if not probe.get("ok"):
+        print(f"perf_check: backend unavailable ({probe.get('error')})",
+              file=sys.stderr)
+        return 2
+    if probe.get("backend") != "tpu":
         print("perf_check: not on TPU, skipping")
         return 0
 
-    result = run_bench(config=args.config)
-
-    # both fidelity modes gate independently (see bench.py: `value` is
-    # the LoD-default headline, `value_exact` the full-DE mode)
-    best = {"value": None, "value_exact": None}
-    if os.path.exists(HIST):
-        with open(HIST) as fh:
-            for line in fh:
-                rec = json.loads(line)
-                for key in best:
-                    v = rec.get(key)
-                    if v is not None and (best[key] is None
-                                          or v > best[key]):
-                        best[key] = v
+    from bench import run_bench
+    rows = _load_history()
+    new_rows = [run_bench(config=args.config)]
+    if not args.headline_only:
+        for name in AUX_WORKLOADS:
+            new_rows.append(_run_aux(name))
 
     os.makedirs(os.path.dirname(HIST), exist_ok=True)
     with open(HIST, "a") as fh:
-        fh.write(json.dumps(result) + "\n")
+        for r in new_rows:
+            fh.write(json.dumps(r) + "\n")
+            print(json.dumps(r))
 
-    print(json.dumps(result))
     rc = 0
     if not args.record_only:
-        for key, b in best.items():
-            v = result.get(key)
+        gates = [("headline", k, new_rows[0].get(k)) for k in HEADLINE_KEYS]
+        for r in new_rows[1:]:
+            gates.append((r["workload"], "mrays_per_s",
+                          r.get("mrays_per_s")))
+        for workload, key, v in gates:
+            b = _best(rows, workload, key)
             if b is None or v is None:
+                print(f"perf new  [{workload}/{key}]: {v} (no history)")
                 continue
             if v < b * (1.0 - args.threshold):
-                print(f"PERF REGRESSION [{key}]: {v} < {b} * "
+                print(f"PERF REGRESSION [{workload}/{key}]: {v} < {b} * "
                       f"(1 - {args.threshold})", file=sys.stderr)
                 rc = 1
             else:
-                print(f"perf ok [{key}]: {v} vs best {b}")
+                print(f"perf ok   [{workload}/{key}]: {v} vs best {b}")
     return rc
 
 

@@ -1,0 +1,220 @@
+#!/usr/bin/env python
+"""Measured VPU f32 peak on the EXACT bulb-iteration op mix (r3 verdict
+Weak #1 / Next #2a).
+
+Round 3 concluded the exact-fidelity mode is "ALU-bound as scheduled"
+from a SELF-calibrated roofline (iteration counters x stage times ->
+~27 ps per penumbra iteration-lane). Nothing pinned what the v5e VPU can
+actually sustain on this op mix in a pallas kernel. This tool measures
+it: a VMEM-resident kernel runs K iterations of the power-8 Mandelbulb
+DE substep (the arithmetic of engines/sdf.sdf_mandelbulb_while::substep,
+including the masked selects, with a never-escaping orbit so there is
+ZERO divergence and no while/cond overhead), plus two baseline kernels
+(dependent FMA chain = latency bound; 8 independent FMA chains =
+throughput bound).
+
+Output: ps per iteration-lane and effective f32 Tflop/s per kernel.
+Comparing the render kernel's measured ps/iteration-lane against the
+no-divergence peak converts "structural, not a scheduling deficit" from
+an assumption into a number (MFU = peak_ps / achieved_ps).
+
+FLOPs per bulb substep (hand count of substep(), engines/sdf.py:242-280,
+transcendentals counted as 1): dz_new 5 + max + rsqrt = 7; squares 6;
+k3/k3s 2; k37 5; k2(rsqrt) 1; k1 11; k4 2; wx_new 12; wy_new 8;
+wz_new 15; selects 4; m recompute 5; active cmp 1  => 79 ops.
+
+Usage: python tools/vpu_peak.py [--iters 512] [--rows 256] [--grid 64]
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _ROOT)
+
+BULB_FLOPS_PER_ITER = 79  # see docstring hand count
+
+
+def _bulb_mix_kernel(px_ref, py_ref, pz_ref, out_ref, *, iters: int):
+    """K no-divergence bulb substeps (sdf_mandelbulb_while arithmetic)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    F32 = jnp.float32
+    px = px_ref[...]
+    py = py_ref[...]
+    pz = pz_ref[...]
+    bailout2 = F32(64.0)  # orbit seeds are tiny: never escapes
+    tiny = F32(1e-4)
+
+    def substep(carry):
+        wx, wy, wz, dz, m = carry
+        active = m <= bailout2
+        m2 = m * m
+        m4 = m2 * m2
+        dz_new = F32(8.0) * ((m4 * lax.rsqrt(
+            jnp.maximum(m, F32(1e-30)))) * dz) + F32(1.0)
+        x, y, z = wx, wy, wz
+        x2 = x * x
+        x4 = x2 * x2
+        y2 = y * y
+        y4 = y2 * y2
+        z2 = z * z
+        z4 = z2 * z2
+        k3 = x2 + z2
+        k3s = jnp.maximum(k3, tiny)
+        k37 = ((k3s * k3s) * (k3s * k3s)) * ((k3s * k3s) * k3s)
+        k2 = lax.rsqrt(k37)
+        k1 = ((x4 + y4) + z4) - F32(6.0) * (y2 * z2) \
+            - F32(6.0) * (x2 * y2) + F32(2.0) * (z2 * x2)
+        k4 = (x2 - y2) + z2
+        wx_new = px + F32(64.0) * ((((x * y) * z) * (x2 - z2)) * k4) \
+            * ((x4 - F32(6.0) * (x2 * z2)) + z4) * k1 * k2
+        wy_new = py + (F32(-16.0) * (y2 * k3) * (k4 * k4) + k1 * k1)
+        wz_new = pz + F32(-8.0) * (y * k4) \
+            * ((((x4 * x4) - F32(28.0) * ((x4 * x2) * z2))
+                + F32(70.0) * (x4 * z4))
+               - F32(28.0) * ((x2 * z2) * z4) + (z4 * z4)) * k1 * k2
+        wx = jnp.where(active, wx_new, wx)
+        wy = jnp.where(active, wy_new, wy)
+        wz = jnp.where(active, wz_new, wz)
+        dz = jnp.where(active, dz_new, dz)
+        m = jnp.where(active, (wx * wx + wy * wy) + wz * wz, m)
+        return wx, wy, wz, dz, m
+
+    m0 = (px * px + py * py) + pz * pz
+    carry = (px, py, pz, jnp.ones_like(m0), m0)
+    carry = lax.fori_loop(0, iters, lambda i, c: substep(c), carry)
+    wx, wy, wz, dz, m = carry
+    out_ref[...] = (wx + wy) + (wz + dz) + m
+
+
+def _fma_dep_kernel(a_ref, out_ref, *, iters: int):
+    """Dependent a = a*b + c chain: latency-bound floor."""
+    import jax.numpy as jnp
+    from jax import lax
+    a = a_ref[...]
+    b = a * jnp.float32(0.999)
+    c = a * jnp.float32(1e-6)
+
+    def body(i, x):
+        return x * b + c
+    out_ref[...] = lax.fori_loop(0, iters, body, a)
+
+
+def _fma_par_kernel(a_ref, out_ref, *, iters: int):
+    """8 independent FMA chains: throughput-bound ceiling."""
+    import jax.numpy as jnp
+    from jax import lax
+    a = a_ref[...]
+    b = a * jnp.float32(0.999)
+    c = a * jnp.float32(1e-6)
+    xs = tuple(a + jnp.float32(k) for k in range(8))
+
+    def body(i, xs):
+        return tuple(x * b + c for x in xs)
+    xs = lax.fori_loop(0, iters, body, xs)
+    acc = xs[0]
+    for x in xs[1:]:
+        acc = acc + x
+    out_ref[...] = acc
+
+
+def _time_kernel(fn, args, repeats=5):
+    import jax
+    out = jax.jit(fn)(*args)
+    # scalar fetch syncs through the axon relay (block_until_ready lies)
+    float(np.asarray(out).ravel()[0])
+    ts = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        out = jax.jit(fn)(*args)
+        float(np.asarray(out).ravel()[0])
+        ts.append(time.perf_counter() - t0)
+    return float(np.min(ts))
+
+
+def run(iters: int, rows: int, grid: int, repeats: int = 5):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    shape = (grid * rows, 128)
+    lanes = float(np.prod(shape))
+    rng = np.random.default_rng(0)
+    # orbit seeds with |p| ~ 0.3: m stays far below bailout forever
+    px = jnp.asarray(rng.uniform(0.1, 0.3, shape).astype(np.float32))
+    py = jnp.asarray(rng.uniform(0.1, 0.3, shape).astype(np.float32))
+    pz = jnp.asarray(rng.uniform(0.1, 0.3, shape).astype(np.float32))
+
+    interpret = jax.default_backend() != "tpu"  # CPU smoke path
+
+    def make(kernel, n_in):
+        return pl.pallas_call(
+            kernel,
+            grid=(grid,),
+            in_specs=[pl.BlockSpec((rows, 128), lambda i: (i, 0))] * n_in,
+            out_specs=pl.BlockSpec((rows, 128), lambda i: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct(shape, jnp.float32),
+            interpret=interpret,
+        )
+
+    results = {}
+
+    dt = _time_kernel(
+        lambda a, b, c: jnp.sum(
+            make(functools.partial(_bulb_mix_kernel, iters=iters), 3)(
+                a, b, c)),
+        (px, py, pz), repeats)
+    it_lanes = lanes * iters
+    results["bulb_mix"] = {
+        "ps_per_iter_lane": dt / it_lanes * 1e12,
+        "tflops": BULB_FLOPS_PER_ITER * it_lanes / dt / 1e12,
+        "seconds": dt,
+    }
+
+    for name, kern, flops_per_iter in (
+            ("fma_dep", _fma_dep_kernel, 2.0),
+            ("fma_par8", _fma_par_kernel, 16.0)):
+        dt = _time_kernel(
+            lambda a, kern=kern: jnp.sum(
+                make(functools.partial(kern, iters=iters), 1)(a)),
+            (px,), repeats)
+        results[name] = {
+            "ps_per_iter_lane": dt / it_lanes * 1e12,
+            "tflops": flops_per_iter * it_lanes / dt / 1e12,
+            "seconds": dt,
+        }
+    return results
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=512)
+    ap.add_argument("--rows", type=int, default=256)
+    ap.add_argument("--grid", type=int, default=64)
+    ap.add_argument("--repeats", type=int, default=5)
+    args = ap.parse_args()
+
+    import jax
+    print(f"backend: {jax.default_backend()}")
+    res = run(args.iters, args.rows, args.grid, args.repeats)
+    for name, r in res.items():
+        print(f"| {name:10s} | {r['ps_per_iter_lane']:8.2f} ps/iter-lane "
+              f"| {r['tflops']:7.3f} Tflop/s | {r['seconds'] * 1e3:8.2f} ms |")
+    print(json.dumps({k: {kk: round(vv, 6) for kk, vv in v.items()}
+                      for k, v in res.items()}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
