@@ -298,6 +298,101 @@ def sdf_mandelbulb_while(prm, p, power: int, iterations: int):
     return de * scale
 
 
+def sdf_mandelbulb_while_cheb(prm, p, power: int, iterations: int):
+    """sdf_mandelbulb_while with an algebraically-restructured power-8
+    substep (r4 verdict Next #2b — fewer flops per bulb iteration):
+
+      - Re/Im((x+iz)^8) via THREE complex squarings (13 ops) replace the
+        expanded degree-8 polynomials of wx_new/wz_new (~31 ops); both
+        branches share S = 8*y*k4*k1*k2:
+            wx' = px + S*Im(w^8),  wz' = pz - S*Re(w^8)
+        (Im(w^8) = 8xz(x^2-z^2)(x^4-6x^2z^2+z^4) and Re(w^8) is the
+        x^8-28x^6z^2+... expansion — verified to fp noise over 1e5
+        random triples, see docs/ROUND4.md).
+      - k1 = (k3-3y^2)^2 - 8y^4 replaces the 6-term expansion
+        ((x^2+z^2)^2 = x4+z4+2x2z2 absorbed into k3^2).
+
+    Hand count: ~79 -> ~65 ops/iteration (~18%). Mathematically exact;
+    f32 reassociation shifts each iterate by O(1 ulp), which the chaotic
+    DE amplifies — so hits land elsewhere in the eps band at silhouettes
+    (the standard c3 carve-out class). Enable with
+    RenderSettings(bulb_iter="cheb"); fidelity is gated per-config by
+    tools/fidelity_matrix.py like every other trajectory change.
+    """
+    if power != 8:
+        raise NotImplementedError(
+            "Mandelbulb cheb iteration: power=8 only (same constraint as "
+            "the std pallas path).")
+    c = (prm[0], prm[1], prm[2])
+    scale = prm[3]
+    bailout2 = prm[4] * prm[4] * F32(16.0)
+    inv_s = F32(1.0) / scale
+    px = (p[0] - c[0]) * inv_s
+    py = (p[1] - c[1]) * inv_s
+    pz = (p[2] - c[2]) * inv_s
+    m0 = (px * px + py * py) + pz * pz
+    tiny = F32(1e-4)
+    unroll = next(u for u in range(min(DE_UNROLL, iterations), 0, -1)
+                  if iterations % u == 0)
+
+    def cond(s):
+        i, _, _, _, _, m = s
+        return (i < iterations) & (jnp.min(
+            jnp.where(m > bailout2, F32(1.0), F32(0.0))) < F32(0.5))
+
+    def substep(wx, wy, wz, dz, m):
+        active = m <= bailout2
+        m2 = m * m
+        m4 = m2 * m2
+        dz_new = F32(8.0) * ((m4 * jax.lax.rsqrt(
+            jnp.maximum(m, F32(1e-30)))) * dz) + F32(1.0)
+        x, y, z = wx, wy, wz
+        x2 = x * x
+        y2 = y * y
+        z2 = z * z
+        y4 = y2 * y2
+        k3 = x2 + z2
+        k3s = jnp.maximum(k3, tiny)
+        k37 = ((k3s * k3s) * (k3s * k3s)) * ((k3s * k3s) * k3s)
+        k2 = jax.lax.rsqrt(k37)
+        t13 = k3 - F32(3.0) * y2
+        k1 = t13 * t13 - F32(8.0) * y4
+        k4 = (x2 - y2) + z2
+        # w^8 by three complex squarings of w = x + i z
+        a1 = x2 - z2
+        b1 = F32(2.0) * (x * z)
+        a2 = a1 * a1 - b1 * b1
+        b2 = F32(2.0) * (a1 * b1)
+        re8 = a2 * a2 - b2 * b2
+        im8 = F32(2.0) * (a2 * b2)
+        s8 = ((F32(8.0) * y) * k4) * (k1 * k2)
+        wx_new = px + s8 * im8
+        wy_new = py + (F32(-16.0) * (y2 * k3) * (k4 * k4) + k1 * k1)
+        wz_new = pz - s8 * re8
+        wx = jnp.where(active, wx_new, wx)
+        wy = jnp.where(active, wy_new, wy)
+        wz = jnp.where(active, wz_new, wz)
+        dz = jnp.where(active, dz_new, dz)
+        m = jnp.where(active, (wx * wx + wy * wy) + wz * wz, m)
+        return wx, wy, wz, dz, m
+
+    def body(s):
+        i, wx, wy, wz, dz, m = s
+        for _ in range(unroll):
+            wx, wy, wz, dz, m = substep(wx, wy, wz, dz, m)
+        return i + unroll, wx, wy, wz, dz, m
+
+    _, _, _, _, dz, m = jax.lax.while_loop(
+        cond, body, (0, px, py, pz, jnp.ones_like(m0), m0))
+    r = jnp.sqrt(m)
+    de = F32(0.25) * jnp.log(jnp.maximum(m, F32(1e-30))) * r / dz
+    r0 = jnp.sqrt(m0)
+    far = r0 - F32(1.35)
+    de = jnp.where(far > F32(0.0),
+                   jnp.minimum(de, far + F32(0.1)), de)
+    return de * scale
+
+
 def leaf_sdf(kind: int, prm, p, p0: int = 0, p1: int = 0):
     if kind == LEAF_SPHERE:
         return sdf_sphere(prm, p)
@@ -314,6 +409,14 @@ def leaf_sdf_fast(kind: int, prm, p, p0: int = 0, p1: int = 0):
     """Kernel-path leaf SDF: while-loop Mandelbulb with batch early exit."""
     if kind == LEAF_MANDELBULB:
         return sdf_mandelbulb_while(prm, p, p0, p1)
+    return leaf_sdf(kind, prm, p, p0, p1)
+
+
+def leaf_sdf_fast_cheb(kind: int, prm, p, p0: int = 0, p1: int = 0):
+    """leaf_sdf_fast with the restructured bulb iteration
+    (sdf_mandelbulb_while_cheb) — RenderSettings(bulb_iter='cheb')."""
+    if kind == LEAF_MANDELBULB:
+        return sdf_mandelbulb_while_cheb(prm, p, p0, p1)
     return leaf_sdf(kind, prm, p, p0, p1)
 
 

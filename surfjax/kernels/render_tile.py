@@ -38,7 +38,7 @@ The jax.numpy twin of this exact algorithm is `scene_march_twin` below
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -107,16 +107,28 @@ def _scene_sdf(sdf_objs, lp, nparams, p, leaf_fn=None):
     return v
 
 
-def _capped_leaf_fn(cap: int):
+def _fast_leaf_fn(settings):
+    """The kernel-path leaf evaluator for these settings: std or cheb
+    bulb iteration (RenderSettings.bulb_iter)."""
+    from surfjax.engines.sdf import leaf_sdf_fast, leaf_sdf_fast_cheb
+    return (leaf_sdf_fast_cheb if settings.bulb_iter == "cheb"
+            else leaf_sdf_fast)
+
+
+def _capped_leaf_fn(cap: int, settings=None):
     """Leaf evaluator with fractal DEs iteration-capped at `cap`.
     The truncated prisoner set is a superset of the full one, so the
     capped DE lower-bounds distance to a surface enclosing the true one."""
     from surfjax.core.scene_compile import LEAF_MANDELBULB
-    from surfjax.engines.sdf import leaf_sdf_fast, sdf_mandelbulb_while
+    from surfjax.engines.sdf import (
+        leaf_sdf_fast, sdf_mandelbulb_while, sdf_mandelbulb_while_cheb,
+    )
+    cheb = settings is not None and settings.bulb_iter == "cheb"
+    bulb = sdf_mandelbulb_while_cheb if cheb else sdf_mandelbulb_while
 
     def leaf_fn(kind, prm, p, p0=0, p1=0):
         if kind == LEAF_MANDELBULB:
-            return sdf_mandelbulb_while(prm, p, p0, min(p1, cap))
+            return bulb(prm, p, p0, min(p1, cap))
         return leaf_sdf_fast(kind, prm, p, p0, p1)
 
     return leaf_fn
@@ -128,7 +140,7 @@ def _lod_leaf_fn(settings):
     cap = settings.secondary_lod_iters
     if not cap:
         return None
-    return _capped_leaf_fn(cap)
+    return _capped_leaf_fn(cap, settings)
 
 
 # ---------------------------------------------------------------------------
@@ -592,13 +604,15 @@ def _prime_march(proxy_fn, sdf_fn, o, d, t_min: float, t_max: float,
 
 
 def _prime_body(static, settings, n_leaves, n_nodes, k_m,
-                lp_ref, np_ref,
+                lp_ref, np_ref, cm_ref,
                 ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, t0_ref):
+    del cm_ref  # priming is skipped when a crowd is active
     lp, nparams = _read_params(lp_ref, np_ref, n_leaves, n_nodes)
     o = (ox_ref[:], oy_ref[:], oz_ref[:])
     d = (dx_ref[:], dy_ref[:], dz_ref[:])
     _, sdf_objs, _ = _split(static)
-    sdf_fn = lambda p: _scene_sdf(sdf_objs, lp, nparams, p)
+    sdf_fn = lambda p: _scene_sdf(sdf_objs, lp, nparams, p,
+                                  leaf_fn=_fast_leaf_fn(settings))
     proxy_fn = _proxy_sdf_fn(sdf_objs, lp, nparams)
     park = _scene_park_point(sdf_objs, lp)
     t0_ref[:] = _prime_march(proxy_fn, sdf_fn, o, d, settings.t_min,
@@ -625,7 +639,8 @@ def prime_tile_kernel(static, settings: RenderSettings, k_m: float,
         in_specs=_param_specs() + _ray_specs(6, rc),
         out_specs=_ray_specs(1, rc)[0],
         interpret=_interpret(),
-    )(leaf_params, node_params, o[0], o[1], o[2], d[0], d[1], d[2])
+    )(leaf_params, node_params, crowd_meta(static, settings),
+      o[0], o[1], o[2], d[0], d[1], d[2])
 
 
 def _fd_normal(sdf_fn, p, eps: float):
@@ -642,12 +657,291 @@ def _fd_normal(sdf_fn, p, eps: float):
 
 
 # ---------------------------------------------------------------------------
+# Vectorized object loop ("crowd") for large scenes — r3 verdict Weak #4.
+#
+# The per-object static unrolling above costs ~0.67 s warm compile per
+# object (docs/COMPONENTS.md "compile scaling"), which caps practical
+# scene size. With RenderSettings.vector_objects, single-leaf positively-
+# signed sphere/box SDF objects become a "crowd": ONE lax.fori_loop whose
+# body reads member parameters by dynamic SMEM index (cm meta rows +
+# leaf_params rows) and runs the IDENTICAL per-member arithmetic as the
+# unrolled path (_bound_entry + _march; per-member FD normals; per-member
+# shadow marches / closed-form sphere penumbrae; gated AO terms; material
+# gather + per-shininess-group shading). Per-lane results are therefore
+# bitwise-equal to the unrolled path on crowd-only scenes (the merge ops
+# — where/min/max — are per-member independent), asserted in
+# tests/test_crowd.py. Members are ordered spheres-first so each loop
+# section is statically single-kind (no per-step kind selects).
+# ---------------------------------------------------------------------------
+
+class CrowdIR(NamedTuple):
+    members: Tuple      # ((obj_idx, ObjectIR), ...) spheres first
+    n_sphere: int
+    shin_groups: Tuple  # distinct static shininess values (group order)
+
+
+def split_crowd(static, settings):
+    """-> (CrowdIR | None, rest_sdf [(i, oir), ...]).
+
+    Crowd-eligible: SDF engine, single positive sphere/box leaf. The
+    crowd forms only with vector_objects on and >= 2 eligible members
+    (below that the unrolled path compiles faster and identically)."""
+    from surfjax.core.scene_compile import LEAF_BOX, LEAF_SPHERE
+    _, sdf_objs, _ = _split(static)
+    if not settings.vector_objects:
+        return None, sdf_objs
+    crowd, rest = [], []
+    for i, oir in sdf_objs:
+        lf = oir.leaves[0] if len(oir.leaves) == 1 else None
+        if (len(oir.nodes) == 1 and lf is not None and lf.sign > 0
+                and lf.kind in (LEAF_SPHERE, LEAF_BOX)):
+            crowd.append((i, oir))
+        else:
+            rest.append((i, oir))
+    if len(crowd) < 2:
+        return None, sdf_objs
+    from surfjax.core.scene_compile import LEAF_SPHERE as _SPH
+    spheres = [m for m in crowd if m[1].leaves[0].kind == _SPH]
+    boxes = [m for m in crowd if m[1].leaves[0].kind != _SPH]
+    groups: list = []
+    for _, oir in spheres + boxes:
+        if oir.shininess not in groups:
+            groups.append(oir.shininess)
+    return CrowdIR(tuple(spheres + boxes), len(spheres),
+                   tuple(groups)), rest
+
+
+@functools.lru_cache(maxsize=64)
+def _crowd_meta_cached(static, settings):
+    crowd, _ = split_crowd(static, settings)
+    if crowd is None:
+        return np.zeros((1, 4), np.int32)
+    rows = [[oir.leaves[0].slot, i, oir.mat,
+             crowd.shin_groups.index(oir.shininess)]
+            for i, oir in crowd.members]
+    return np.asarray(rows, np.int32)
+
+
+def crowd_meta(static, settings):
+    """(max(1,n), 4) int32 [leaf_slot, obj_idx, mat_idx, shin_group] —
+    the SMEM side table every kernel body receives (row j = member j,
+    spheres first). A (1,4) zero row stands in when there is no crowd."""
+    return jnp.asarray(_crowd_meta_cached(static, settings))
+
+
+def _crowd_member(crowd_refs, j):
+    """Member j's (leaf params 8-tuple, obj idx f32, mat idx, group f32),
+    all via dynamic scalar reads (SMEM refs in kernels, jnp arrays in the
+    twin)."""
+    cm, lpr = crowd_refs
+    slot = cm[j, 0]
+    prm = tuple(lpr[slot, k] for k in range(8))
+    return (prm, cm[j, 1].astype(jnp.float32), cm[j, 2],
+            cm[j, 3].astype(jnp.float32))
+
+
+def _crowd_bound(prm, is_sphere: bool):
+    """Member bounding sphere — for sphere/box leaves the cover and the
+    pointwise lower bound coincide (same formulas as _leaf_bound_scalars)."""
+    if is_sphere:
+        return (prm[0], prm[1], prm[2], prm[3])
+    r = jnp.sqrt((prm[3] * prm[3] + prm[4] * prm[4]) + prm[5] * prm[5])
+    return (prm[0], prm[1], prm[2], r)
+
+
+def _crowd_leaf_sdf(prm, is_sphere: bool):
+    from surfjax.engines.sdf import sdf_box, sdf_sphere
+    if is_sphere:
+        return lambda p: sdf_sphere(prm, p)
+    return lambda p: sdf_box(prm, p)
+
+
+def _crowd_sections(crowd, fn, carry):
+    """Run fn(j, is_sphere, carry) over members via two statically-kinded
+    fori_loops (spheres [0, n_sphere), boxes [n_sphere, n))."""
+    n = len(crowd.members)
+    if crowd.n_sphere > 0:
+        carry = jax.lax.fori_loop(
+            0, crowd.n_sphere, lambda j, c: fn(j, True, c), carry)
+    if n > crowd.n_sphere:
+        carry = jax.lax.fori_loop(
+            crowd.n_sphere, n, lambda j, c: fn(j, False, c), carry)
+    return carry
+
+
+def _crowd_trace(crowd, crowd_refs, o, d, t_start, settings,
+                 steps: int, exit_margin: float, state):
+    """Crowd section of trace_core: per-member bound entry + march with
+    progressive clipping, merged exactly like the unrolled loop.
+    state/-> (t, obj, leaf, t_clip, unres)."""
+    def member(j, is_sphere, carry):
+        t, obj, leaf, t_clip, unres = carry
+        prm, obj_f, _, _ = _crowd_member(crowd_refs, j)
+        b = _crowd_bound(prm, is_sphere)
+        sdf_j = _crowd_leaf_sdf(prm, is_sphere)
+        t1, clip2 = _bound_entry(b, o, d, t_start, t_clip, exit_margin)
+        t_j, hit_j, un_j = _march(sdf_j, o, d, F32(0.0), clip2, steps,
+                                  settings.hit_eps, t_init=t1,
+                                  relax=settings.over_relax,
+                                  eps_scale=settings.hit_eps_scale)
+        better = (hit_j > F32(0.5)) & (t_j < t)
+        t = jnp.where(better, t_j, t)
+        obj = jnp.where(better, obj_f, obj)
+        leaf = jnp.where(better, F32(0.0), leaf)
+        t_clip = jnp.minimum(t_clip, t)
+        unres = jnp.maximum(unres, un_j)
+        return (t, obj, leaf, t_clip, unres)
+
+    return _crowd_sections(crowd, member, state)
+
+
+def _crowd_normals(crowd, crowd_refs, p, obj, settings, n):
+    """Per-member FD normals (cond-gated per tile), same 4-tap
+    tetrahedron on the member's OWN SDF as the unrolled path."""
+    def member(j, is_sphere, carry):
+        nx, ny, nz = carry
+        prm, obj_f, _, _ = _crowd_member(crowd_refs, j)
+        sdf_j = _crowd_leaf_sdf(prm, is_sphere)
+        sel = obj == obj_f
+        won = jnp.where(sel, F32(1.0), F32(0.0))
+        n_s = jax.lax.cond(
+            jnp.max(won) > F32(0.5),
+            lambda: _fd_normal(sdf_j, p, settings.normal_eps),
+            lambda: (jnp.zeros_like(p[0]), jnp.zeros_like(p[0]),
+                     jnp.ones_like(p[0])))
+        return (jnp.where(sel, n_s[0], nx), jnp.where(sel, n_s[1], ny),
+                jnp.where(sel, n_s[2], nz))
+
+    return _crowd_sections(crowd, member, n)
+
+
+def _crowd_ao_terms(crowd, crowd_refs, p_off, n, settings, terms,
+                    n_terms: int):
+    """Per-member AO tap terms with the same 2*ao_radius far gate as
+    _ao_compute, max-combined (exactly equal to scene-min terms)."""
+    from surfjax.engines.sdf import ao_probe_terms
+
+    def member(j, is_sphere, terms):
+        prm, _, _, _ = _crowd_member(crowd_refs, j)
+        cx, cy, cz, R = _crowd_bound(prm, is_sphere)
+        dx = p_off[0] - cx
+        dy = p_off[1] - cy
+        dz = p_off[2] - cz
+        hb = jnp.sqrt((dx * dx + dy * dy) + dz * dz) - R
+        sdf_j = _crowd_leaf_sdf(prm, is_sphere)
+        pred = jnp.min(hb) <= F32(2.0) * F32(settings.ao_radius)
+        t_j = jax.lax.cond(
+            pred,
+            lambda: tuple(ao_probe_terms(sdf_j, p_off, n,
+                                         settings.ao_samples,
+                                         settings.ao_radius)),
+            lambda: tuple(jnp.zeros_like(p_off[0])
+                          for _ in range(n_terms)))
+        return tuple(jnp.maximum(a, b) for a, b in zip(terms, t_j))
+
+    return _crowd_sections(crowd, member, terms)
+
+
+def _crowd_hard_vis(crowd, crowd_refs, o, l, dist, settings, steps: int,
+                    eps, eps_margin: float, state):
+    """Crowd section of the hard-shadow path: per-member any-hit march
+    with the segment skip + bound entry/exit clip (sphere/box covers are
+    exact — no iterated-DE envelope caveat). state/-> (vis, unres)."""
+    def member(j, is_sphere, carry):
+        vis, unres = carry
+        prm, _, _, _ = _crowd_member(crowd_refs, j)
+        b = _crowd_bound(prm, is_sphere)
+        sdf_j = _crowd_leaf_sdf(prm, is_sphere)
+        dist_j = jnp.where(vis <= F32(0.0), F32(0.0), dist)
+        dseg = _seg_bound_dist(b, o, l, F32(eps), dist_j)
+        dist_j = jnp.where(dseg > F32(eps_margin), F32(0.0), dist_j)
+        t1, clip2 = _bound_entry(b, o, l, F32(eps) * jnp.ones_like(dist_j),
+                                 dist_j, eps_margin)
+        t_s, hit_s, un_j = _march(sdf_j, o, l, F32(0.0), clip2, steps,
+                                  settings.hit_eps, t_init=t1,
+                                  relax=settings.over_relax,
+                                  eps_scale=settings.hit_eps_scale)
+        occ = (hit_s > F32(0.5)) & (t_s < dist_j)
+        vis = vis * jnp.where(occ, F32(0.0), F32(1.0))
+        unres = jnp.maximum(unres, un_j)
+        return (vis, unres)
+
+    return _crowd_sections(crowd, member, state)
+
+
+def _crowd_soft_vis(crowd, crowd_refs, o, l, dist, settings, steps: int,
+                    kf, state):
+    """Crowd section of the soft-shadow path: spheres take the exact
+    closed-form penumbra (zero march steps), boxes the influence-window
+    march — the same per-kind strategy as the unrolled path.
+    state/-> (soft_vis, unres)."""
+    tmin_s = F32(settings.soft_shadow_tmin)
+
+    def member(j, is_sphere, carry):
+        soft_vis, unres = carry
+        prm, _, _, _ = _crowd_member(crowd_refs, j)
+        if is_sphere:
+            v_j = _penumbra_sphere(prm, o, l, tmin_s, dist, kf)
+            return (jnp.minimum(soft_vis, v_j), unres)
+        b = _crowd_bound(prm, False)
+        sdf_j = _crowd_leaf_sdf(prm, False)
+        dist_j = jnp.where(soft_vis <= F32(0.0), F32(0.0), dist)
+        t_lo, t_hi = _influence_window(b, o, l, tmin_s, dist_j, kf)
+        v_j, un_j = _soft_march(sdf_j, o, l, settings.soft_shadow_tmin,
+                                jnp.minimum(dist_j, t_hi), kf, steps,
+                                t_init=jnp.maximum(t_lo, tmin_s),
+                                relax=settings.over_relax)
+        return (jnp.minimum(soft_vis, v_j), jnp.maximum(unres, un_j))
+
+    return _crowd_sections(crowd, member, state)
+
+
+def _crowd_shade(crowd, crowd_refs, mat_table, obj, hit_mask, ambient,
+                 ao, n, v, light_terms, rgb):
+    """Material gather (per-lane 9 channels by dynamic mat index) + one
+    shade_object call per distinct static shininess group. Per-lane
+    arithmetic equals the unrolled per-object shade (the gathered mat
+    values are the lane's object's exact rows). rgb/-> (r, g, b)."""
+    cm, _ = crowd_refs
+    zeros = jnp.zeros_like(obj)
+
+    def gather(j, carry):
+        mats, grp, isc = carry
+        _, obj_f, mat_i, g = _crowd_member(crowd_refs, j)
+        sel = obj == obj_f
+        mats = tuple(jnp.where(sel, mat_table[mat_i, k], mats[k])
+                     for k in range(9))
+        grp = jnp.where(sel, g, grp)
+        isc = jnp.maximum(isc, jnp.where(sel, F32(1.0), F32(0.0)))
+        return (mats, grp, isc)
+
+    mats, grp, isc = _crowd_sections(
+        crowd, lambda j, _is, c: gather(j, c),
+        (tuple(zeros for _ in range(9)), zeros, zeros))
+
+    r, g, b = rgb
+    for gi, shin in enumerate(crowd.shin_groups):
+        ri, gi2, bi = shade_object(mats, shin, ambient, ao, n, v,
+                                   light_terms)
+        sel = hit_mask & (isc > F32(0.5)) & (grp == F32(float(gi)))
+        r = jnp.where(sel, ri, r)
+        g = jnp.where(sel, gi2, g)
+        b = jnp.where(sel, bi, b)
+    return r, g, b
+
+
+def _crowd_obj_set(crowd):
+    return frozenset(i for i, _ in crowd.members) if crowd else frozenset()
+
+
+# ---------------------------------------------------------------------------
 # The shared trace core — used by the Pallas kernel bodies AND by the jnp
 # twin, so kernel-vs-twin parity tests exercise identical algorithms.
 # ---------------------------------------------------------------------------
 
 def trace_core(static, settings: RenderSettings, lp, nparams, o, d,
-               t_min: float, t_max, t0=None, march_cap: int = 0):
+               t_min: float, t_max, t0=None, march_cap: int = 0,
+               crowd_refs=None):
     """-> (t, obj_id i32, leaf_id i32, hit_f f32, unres_f f32).
 
     t0 (optional, per-lane): a proven-safe march start from the cone
@@ -664,6 +958,11 @@ def trace_core(static, settings: RenderSettings, lp, nparams, o, d,
     analytic, sdf_objs, _mesh = _split(static)
     # mesh objects are intersected by the packet kernel (mesh_tile.py) and
     # merged by the caller; this core handles analytic + SDF only
+    crowd = None
+    if crowd_refs is not None:
+        crowd, sdf_rest = split_crowd(static, settings)
+        if crowd is not None:
+            sdf_objs = sdf_rest
 
     t_a = jnp.full_like(o[0], BIG)
     obj = jnp.full_like(o[0], -1.0)
@@ -677,16 +976,28 @@ def trace_core(static, settings: RenderSettings, lp, nparams, o, d,
         leaf = jnp.where(better, leaf_i.astype(jnp.float32), leaf)
 
     t = t_a
+    if crowd is not None:
+        steps = march_cap if march_cap > 0 else settings.max_steps
+        t_clip = jnp.minimum(t_a, F32(t_max))
+        t_start = (F32(t_min) * jnp.ones_like(o[0]) if t0 is None
+                   else jnp.maximum(t0, F32(t_min)))
+        exit_margin = settings.hit_eps + settings.hit_eps_scale * float(
+            max(t_max, settings.t_max))
+        t, obj, leaf, t_clip_c, unres = _crowd_trace(
+            crowd, crowd_refs, o, d, t_start, settings, steps,
+            exit_margin, (t, obj, leaf, t_clip, unres))
     if sdf_objs:
         # Per-object marches with PROGRESSIVE clipping: cheap objects march
         # first; each subsequent object's march is clipped by the nearest
         # hit so far (tiles occluded by a cheaper object never pay the
         # expensive tape), every march evaluates only its own object's
         # tape, and attribution is exact — no scene-min argmin.
-        from surfjax.engines.sdf import leaf_sdf_fast
+        fast_fn = _fast_leaf_fn(settings)
         order = sorted(sdf_objs, key=lambda io: len(io[1].nodes))
         steps = march_cap if march_cap > 0 else settings.max_steps
-        t_clip = jnp.minimum(t_a, F32(t_max))
+        # t here includes any crowd hits (t == t_a when no crowd ran), so
+        # the unrolled marches are progressively clipped by both
+        t_clip = jnp.minimum(t, F32(t_max))
         t_start = (F32(t_min) * jnp.ones_like(o[0]) if t0 is None
                    else jnp.maximum(t0, F32(t_min)))
         # the march can register a hit only while eps_eff-close to the
@@ -698,7 +1009,7 @@ def trace_core(static, settings: RenderSettings, lp, nparams, o, d,
             max(t_max, settings.t_max))
         for i, oir in order:
             sdf_i = (lambda oir=oir: lambda p: eval_sdf(
-                oir, lp, nparams, p, leaf_fn=leaf_sdf_fast))()
+                oir, lp, nparams, p, leaf_fn=fast_fn))()
             # every boundable object gets the closed-form sphere
             # entry/exit (see _bound_entry); unboundable ones (plane
             # leaves) march from t_start directly
@@ -737,7 +1048,7 @@ def trace_core(static, settings: RenderSettings, lp, nparams, o, d,
 
 
 def normals_core(static, settings: RenderSettings, lp, nparams, p, obj, leaf,
-                 d):
+                 d, crowd_refs=None):
     """Normals for trace_core hits; face-forwarded. Matches the jnp
     pipeline's per-object selection (pipeline/frame.py): analytic
     objects get analytic normals only under normals="auto" (normals=
@@ -746,9 +1057,20 @@ def normals_core(static, settings: RenderSettings, lp, nparams, p, obj, leaf,
     scene min — so contact seams between SDF objects agree with the
     oracles (review r3)."""
     analytic, sdf_objs, _ = _split(static)
+    crowd = None
+    if crowd_refs is not None:
+        crowd, sdf_rest = split_crowd(static, settings)
+        if crowd is not None:
+            sdf_objs = sdf_rest
     nx = jnp.zeros_like(p[0])
     ny = jnp.zeros_like(p[0])
     nz = jnp.ones_like(p[0])
+    if crowd is not None:
+        # crowd members always take the FD tetrahedron on their own SDF
+        # (exactly what the unrolled path does for SDF-engine objects
+        # under both normals modes)
+        nx, ny, nz = _crowd_normals(crowd, crowd_refs, p, obj, settings,
+                                    (nx, ny, nz))
     fd_objs = list(sdf_objs)
     if settings.normals == "auto":
         for i, oir in analytic:
@@ -764,9 +1086,8 @@ def normals_core(static, settings: RenderSettings, lp, nparams, p, obj, leaf,
         # object skip its 4-tap evaluation entirely (value-exact skip)
         sel = obj == F32(float(i))
         won = jnp.where(sel, F32(1.0), F32(0.0))
-        from surfjax.engines.sdf import leaf_sdf_fast
         sdf_i = (lambda oir=oir: lambda pp: eval_sdf(
-            oir, lp, nparams, pp, leaf_fn=leaf_sdf_fast))()
+            oir, lp, nparams, pp, leaf_fn=_fast_leaf_fn(settings)))()
         n_s = jax.lax.cond(
             jnp.max(won) > F32(0.5),
             (lambda sdf_i=sdf_i: _fd_normal(sdf_i, p,
@@ -882,8 +1203,24 @@ def _influence_window(b, o, l, t0, t_max, kf):
     return t_lo, t_hi
 
 
+def _seg_bound_dist(b, o, l, t_lo, dist):
+    """Per-lane distance from the shadow segment [t_lo, dist] to the
+    bounding sphere b (>= 0 means the whole segment stays outside)."""
+    cx, cy, cz, R = b
+    wx = cx - o[0]
+    wy = cy - o[1]
+    wz = cz - o[2]
+    proj = (wx * l[0] + wy * l[1]) + wz * l[2]
+    proj = jnp.clip(proj, t_lo, jnp.maximum(dist, t_lo))
+    qx = wx - proj * l[0]
+    qy = wy - proj * l[1]
+    qz = wz - proj * l[2]
+    return jnp.sqrt((qx * qx + qy * qy) + qz * qz) - R
+
+
 def visibility_core(static, settings: RenderSettings, lp, nparams,
-                    o, l, dist, soft_k=None, march_cap: int = 0):
+                    o, l, dist, soft_k=None, march_cap: int = 0,
+                    crowd_refs=None):
     """Shadow visibility for a batch of secondary rays (re-entry path).
     -> (vis, unres_f).
 
@@ -910,26 +1247,16 @@ def visibility_core(static, settings: RenderSettings, lp, nparams,
         k*h_bound(t)/t < 1 (samples outside provably cannot lower res);
       - the march itself over-relaxes by settings.over_relax with the
         same retreat-on-overshoot rule as the primary march."""
-    from surfjax.engines.sdf import leaf_sdf_fast
     analytic, sdf_objs, _ = _split(static)
+    crowd = None
+    if crowd_refs is not None:
+        crowd, sdf_rest = split_crowd(static, settings)
+        if crowd is not None:
+            sdf_objs = sdf_rest
     vis = jnp.ones_like(o[0])
     eps = settings.shadow_eps
 
-    def _seg_bound_dist(b, t_lo):
-        """Per-lane distance from the shadow segment [t_lo, dist] to the
-        bounding sphere b (>= 0 means the whole segment stays outside)."""
-        cx, cy, cz, R = b
-        wx = cx - o[0]
-        wy = cy - o[1]
-        wz = cz - o[2]
-        proj = (wx * l[0] + wy * l[1]) + wz * l[2]
-        proj = jnp.clip(proj, t_lo, jnp.maximum(dist, t_lo))
-        qx = wx - proj * l[0]
-        qy = wy - proj * l[1]
-        qz = wz - proj * l[2]
-        return jnp.sqrt((qx * qx + qy * qy) + qz * qz) - R
-
-    if settings.soft_shadows and (analytic or sdf_objs):
+    if settings.soft_shadows and (analytic or sdf_objs or crowd):
         from surfjax.core.scene_compile import LEAF_PLANE
         # per-object penumbra factors combine by MIN exactly
         # (saturate(min_t k*min_i d_i/t) == min_i saturate(min_t k*d_i/t));
@@ -939,10 +1266,14 @@ def visibility_core(static, settings: RenderSettings, lp, nparams,
         k = soft_k if soft_k is not None else settings.soft_shadow_k
         kf = k if hasattr(k, "shape") else F32(k)
         t0 = F32(settings.soft_shadow_tmin)
-        lod_fn = _lod_leaf_fn(settings) or leaf_sdf_fast
+        lod_fn = _lod_leaf_fn(settings) or _fast_leaf_fn(settings)
         steps = march_cap if march_cap > 0 else settings.shadow_steps
         soft_vis = jnp.ones_like(o[0])
         unres = jnp.zeros_like(o[0])
+        if crowd is not None:
+            soft_vis, unres = _crowd_soft_vis(
+                crowd, crowd_refs, o, l, dist, settings, steps, kf,
+                (soft_vis, unres))
         for i, oir in nonmesh:
             cf = _single_leaf_closed_form(oir)
             if cf is not None:
@@ -985,12 +1316,18 @@ def visibility_core(static, settings: RenderSettings, lp, nparams,
     for _, oir in analytic:
         t_i, _ = intersect_analytic(oir, lp, o, l, eps, dist)
         vis = vis * jnp.where(t_i < dist, F32(0.0), F32(1.0))
+    if crowd is not None:
+        eps_margin = settings.hit_eps + settings.hit_eps_scale * float(
+            settings.t_max)
+        vis, unres = _crowd_hard_vis(crowd, crowd_refs, o, l, dist,
+                                     settings, steps, eps, eps_margin,
+                                     (vis, unres))
     if sdf_objs:
         # per-object any-hit marches; occluded lanes skip later objects
         order = sorted(sdf_objs, key=lambda io: len(io[1].nodes))
         for i, oir in order:
             sdf_i = (lambda oir=oir: lambda p: eval_sdf(
-                oir, lp, nparams, p, leaf_fn=leaf_sdf_fast))()
+                oir, lp, nparams, p, leaf_fn=_fast_leaf_fn(settings)))()
             dist_i = jnp.where(vis <= F32(0.0), F32(0.0), dist)
             # shadow marches use the same cone epsilon as the jnp twin
             # and goldens (sphere_trace(..., hit_eps_scale) on the
@@ -1010,7 +1347,7 @@ def visibility_core(static, settings: RenderSettings, lp, nparams,
             if b is not None:
                 # segment clears the bound by more than the worst-case
                 # hit epsilon: the march cannot register an occlusion
-                dseg = _seg_bound_dist(b, F32(eps))
+                dseg = _seg_bound_dist(b, o, l, F32(eps), dist)
                 dist_i = jnp.where(dseg > F32(eps_margin), F32(0.0),
                                    dist_i)
                 # closed-form bound entry/exit replaces the proxy phase
@@ -1125,7 +1462,7 @@ def _soft_march(sdf_fn, o, d, t_start, t_max, k, steps: int,
 
 
 def _ao_compute(static, settings, lp, nparams, p, n,
-                already_offset: bool = False):
+                already_offset: bool = False, crowd_refs=None):
     """AO probes over every non-mesh object (matching the jnp pipeline and
     golden), with an EXACT PER-OBJECT tile-level skip for bounded
     objects: taps lie within ao_radius of the (eps-offset) receiver, so
@@ -1145,6 +1482,11 @@ def _ao_compute(static, settings, lp, nparams, p, n,
         _AO_DIRS, ao_probe_terms, ao_terms_to_factor,
     )
     analytic, sdf_only, _ = _split(static)
+    crowd = None
+    if crowd_refs is not None:
+        crowd, sdf_rest = split_crowd(static, settings)
+        if crowd is not None:
+            sdf_only = sdf_rest
     sdf_objs = analytic + sdf_only  # AO probes every non-mesh object
     eps = F32(settings.shadow_eps)
     if already_offset:
@@ -1153,7 +1495,8 @@ def _ao_compute(static, settings, lp, nparams, p, n,
         p_off = (p[0] + n[0] * eps, p[1] + n[1] * eps, p[2] + n[2] * eps)
 
     cap = settings.ao_lod_iters or settings.secondary_lod_iters
-    lod_fn = _capped_leaf_fn(cap) if cap else None
+    lod_fn = (_capped_leaf_fn(cap, settings) if cap
+              else _fast_leaf_fn(settings))
 
     def terms_of(objs):
         fn = lambda pp: _scene_sdf(objs, lp, nparams, pp, leaf_fn=lod_fn)
@@ -1178,6 +1521,11 @@ def _ao_compute(static, settings, lp, nparams, p, n,
 
     terms = terms_of(unbounded) if unbounded else None
     n_terms = min(settings.ao_samples, len(_AO_DIRS)) * 4
+    if crowd is not None:
+        if terms is None:
+            terms = tuple(jnp.zeros_like(p_off[0]) for _ in range(n_terms))
+        terms = _crowd_ao_terms(crowd, crowd_refs, p_off, n, settings,
+                                terms, n_terms)
     for (i, oir), hb in gated:
         pred = jnp.min(hb) <= F32(2.0) * F32(settings.ao_radius)
         t_i = jax.lax.cond(
@@ -1195,27 +1543,31 @@ def _ao_compute(static, settings, lp, nparams, p, n,
 
 
 def _k1_body(static, settings, n_leaves, n_nodes, march_cap,
-             lp_ref, np_ref,
+             lp_ref, np_ref, cm_ref,
              ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, t0_ref,
              t_ref, obj_ref, nx_ref, ny_ref, nz_ref, ao_ref, hit_ref,
              unres_ref):
     lp, nparams = _read_params(lp_ref, np_ref, n_leaves, n_nodes)
+    crowd_refs = (cm_ref, lp_ref)
     o = (ox_ref[:], oy_ref[:], oz_ref[:])
     d = (dx_ref[:], dy_ref[:], dz_ref[:])
     t, obj, leaf, hit_f, unres = trace_core(static, settings, lp, nparams,
                                             o, d, settings.t_min,
                                             settings.t_max, t0=t0_ref[:],
-                                            march_cap=march_cap)
+                                            march_cap=march_cap,
+                                            crowd_refs=crowd_refs)
     t_sane = jnp.where(hit_f > F32(0.5), t, F32(0.0))
     p = (o[0] + t_sane * d[0], o[1] + t_sane * d[1], o[2] + t_sane * d[2])
-    n = normals_core(static, settings, lp, nparams, p, obj, leaf, d)
+    n = normals_core(static, settings, lp, nparams, p, obj, leaf, d,
+                     crowd_refs=crowd_refs)
 
     analytic, sdf_objs, _ = _split(static)
     # AO probes the full non-mesh scene SDF — analytic objects included
     # (their tapes are exact SDFs), matching golden/renderer.py and the
     # jnp pipeline's _nonmesh_scene_sdf
     if settings.ao and (analytic or sdf_objs):
-        ao = _ao_compute(static, settings, lp, nparams, p, n)
+        ao = _ao_compute(static, settings, lp, nparams, p, n,
+                         crowd_refs=crowd_refs)
     else:
         ao = jnp.ones_like(p[0])
 
@@ -1230,7 +1582,7 @@ def _k1_body(static, settings, n_leaves, n_nodes, march_cap,
 
 
 def _ao_fix_body(static, settings, n_leaves, n_nodes,
-                 lp_ref, np_ref,
+                 lp_ref, np_ref, cm_ref,
                  px_ref, py_ref, pz_ref, nx_ref, ny_ref, nz_ref,
                  need_ref, ao_in_ref, ao_ref):
     """AO at externally-supplied (pre-offset) receivers — used to fix up
@@ -1244,7 +1596,8 @@ def _ao_fix_body(static, settings, n_leaves, n_nodes,
 
     def compute():
         ao_new = _ao_compute(static, settings, lp, nparams, p, n,
-                             already_offset=True)
+                             already_offset=True,
+                             crowd_refs=(cm_ref, lp_ref))
         return jnp.where(need > F32(0.5), ao_new, ao_in)
 
     ao_ref[:] = jax.lax.cond(jnp.max(need) > F32(0.5), compute,
@@ -1271,12 +1624,12 @@ def ao_fix_kernel(static, settings: RenderSettings, leaf_params,
         in_specs=_param_specs() + _ray_specs(8, R),
         out_specs=_ray_specs(1, R)[0],
         interpret=_interpret(),
-    )(leaf_params, node_params, p_off[0], p_off[1], p_off[2],
-      n[0], n[1], n[2], need, ao_in)
+    )(leaf_params, node_params, crowd_meta(static, settings),
+      p_off[0], p_off[1], p_off[2], n[0], n[1], n[2], need, ao_in)
 
 
 def _k2_body(static, settings, n_leaves, n_nodes, march_cap,
-             lp_ref, np_ref,
+             lp_ref, np_ref, cm_ref,
              ox_ref, oy_ref, oz_ref, lx_ref, ly_ref, lz_ref, dist_ref,
              k_ref, vis_ref, unres_ref):
     lp, nparams = _read_params(lp_ref, np_ref, n_leaves, n_nodes)
@@ -1284,7 +1637,8 @@ def _k2_body(static, settings, n_leaves, n_nodes, march_cap,
     l = (lx_ref[:], ly_ref[:], lz_ref[:])
     vis, unres = visibility_core(static, settings, lp, nparams, o, l,
                                  dist_ref[:], soft_k=k_ref[:],
-                                 march_cap=march_cap)
+                                 march_cap=march_cap,
+                                 crowd_refs=(cm_ref, lp_ref))
     vis_ref[:] = vis
     unres_ref[:] = unres
 
@@ -1295,7 +1649,9 @@ def _ray_specs(n_arrays: int, rows: int):
 
 
 def _param_specs():
+    # leaf_params, node_params, crowd meta (see crowd_meta) — all SMEM
     return [pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM)]
 
 
@@ -1325,7 +1681,8 @@ def render_tile_kernel(static, settings: RenderSettings, march_cap: int,
         in_specs=_param_specs() + _ray_specs(7, R),
         out_specs=tuple(_ray_specs(8, R)),
         interpret=_interpret(),
-    )(leaf_params, node_params, o[0], o[1], o[2], d[0], d[1], d[2], t0)
+    )(leaf_params, node_params, crowd_meta(static, settings),
+      o[0], o[1], o[2], d[0], d[1], d[2], t0)
     t, obj, nx, ny, nz, ao, hit_f, unres = out
     return t, obj, (nx, ny, nz), ao, hit_f, unres
 
@@ -1351,8 +1708,8 @@ def trace_rays_kernel(static, settings: RenderSettings, march_cap: int,
         in_specs=_param_specs() + _ray_specs(8, R),
         out_specs=tuple(_ray_specs(2, R)),
         interpret=_interpret(),
-    )(leaf_params, node_params, o[0], o[1], o[2], l[0], l[1], l[2], dist,
-      soft_k)
+    )(leaf_params, node_params, crowd_meta(static, settings),
+      o[0], o[1], o[2], l[0], l[1], l[2], dist, soft_k)
     return vis, unres
 
 
@@ -1370,13 +1727,15 @@ def trace_rays_kernel(static, settings: RenderSettings, march_cap: int,
 
 def _kframe_body(static, settings, n_leaves, n_nodes, intr, tx_tiles,
                  tiles_per_frame,
-                 lp_ref, np_ref, cam_ref, li_ref, mat_ref, amb_ref,
+                 lp_ref, np_ref, cm_ref, cam_ref, li_ref, mat_ref, amb_ref,
                  t0_ref,
                  r_ref, g_ref, b_ref, t_ref, obj_ref,
                  nx_ref, ny_ref, nz_ref, hit_ref):
     from surfjax.core.math import vnormalize
     from surfjax.core.scene_compile import LIGHT_POINT
     lp, nparams = _read_params(lp_ref, np_ref, n_leaves, n_nodes)
+    crowd_refs = (cm_ref, lp_ref)
+    crowd, _ = split_crowd(static, settings)
     R = r_ref.shape[0]
 
     # ray generation from the grid index (exact same arithmetic as
@@ -1410,14 +1769,17 @@ def _kframe_body(static, settings, n_leaves, n_nodes, intr, tx_tiles,
 
     t, obj, leaf, hit_f, _ = trace_core(static, settings, lp, nparams,
                                         o, d, settings.t_min,
-                                        settings.t_max, t0=t0_ref[:])
+                                        settings.t_max, t0=t0_ref[:],
+                                        crowd_refs=crowd_refs)
     t_sane = jnp.where(hit_f > F32(0.5), t, F32(0.0))
     p = (o[0] + t_sane * d[0], o[1] + t_sane * d[1], o[2] + t_sane * d[2])
-    n = normals_core(static, settings, lp, nparams, p, obj, leaf, d)
+    n = normals_core(static, settings, lp, nparams, p, obj, leaf, d,
+                     crowd_refs=crowd_refs)
 
     analytic, sdf_objs, _ = _split(static)
     if settings.ao and (analytic or sdf_objs):
-        ao = _ao_compute(static, settings, lp, nparams, p, n)
+        ao = _ao_compute(static, settings, lp, nparams, p, n,
+                         crowd_refs=crowd_refs)
     else:
         ao = jnp.ones_like(p[0])
 
@@ -1445,7 +1807,8 @@ def _kframe_body(static, settings, n_leaves, n_nodes, intr, tx_tiles,
                                              settings.soft_shadow_k))
             dist_eff = jnp.where(hit_f > F32(0.5), dist, F32(0.0))
             vis, _ = visibility_core(static, settings, lp, nparams,
-                                     p_off, l, dist_eff, soft_k=soft_k)
+                                     p_off, l, dist_eff, soft_k=soft_k,
+                                     crowd_refs=crowd_refs)
         else:
             vis = jnp.ones_like(p_off[0])
         light_terms.append((l, lcol, vis))
@@ -1457,7 +1820,10 @@ def _kframe_body(static, settings, n_leaves, n_nodes, intr, tx_tiles,
     g = zeros + F32(bg[1])
     b = zeros + F32(bg[2])
     hit_mask = hit_f > F32(0.5)
+    crowd_objs = _crowd_obj_set(crowd)
     for i, oir in enumerate(static.ir.objects):
+        if i in crowd_objs:
+            continue  # crowd members shade via the gathered-material loop
         mat_row = tuple(mat_ref[oir.mat, k] for k in range(9))
         ri, gi, bi = shade_object(mat_row, oir.shininess, ambient, ao, n,
                                   v, light_terms)
@@ -1465,6 +1831,9 @@ def _kframe_body(static, settings, n_leaves, n_nodes, intr, tx_tiles,
         r = jnp.where(sel, ri, r)
         g = jnp.where(sel, gi, g)
         b = jnp.where(sel, bi, b)
+    if crowd is not None:
+        r, g, b = _crowd_shade(crowd, crowd_refs, mat_ref, obj, hit_mask,
+                               ambient, ao, n, v, light_terms, (r, g, b))
 
     r_ref[:] = r
     g_ref[:] = g
@@ -1512,7 +1881,8 @@ def frame_fused_kernel(static, settings: RenderSettings, intr,
         in_specs=_param_specs() + smem + _ray_specs(1, R),
         out_specs=tuple(_ray_specs(9, R)),
         interpret=_interpret(),
-    )(leaf_params, node_params, cam_rows, lights, materials, ambient, t0)
+    )(leaf_params, node_params, crowd_meta(static, settings), cam_rows,
+      lights, materials, ambient, t0)
 
 
 # ---------------------------------------------------------------------------
@@ -1524,15 +1894,21 @@ def scene_march_twin(static, settings: RenderSettings, leaf_params,
     """Pure-jnp twin of K1 on flat rays (no tiling, no Pallas)."""
     lp = leaf_params
     nparams = node_params
+    # the twin mirrors the crowd path too (dynamic reads hit jnp arrays
+    # instead of SMEM refs — same indices, same arithmetic)
+    crowd_refs = (crowd_meta(static, settings), leaf_params)
     t, obj, leaf, hit_f, _ = trace_core(static, settings, lp, nparams,
                                         o, d, settings.t_min,
-                                        settings.t_max, t0=t0)
+                                        settings.t_max, t0=t0,
+                                        crowd_refs=crowd_refs)
     t_sane = jnp.where(hit_f > F32(0.5), t, F32(0.0))
     p = (o[0] + t_sane * d[0], o[1] + t_sane * d[1], o[2] + t_sane * d[2])
-    n = normals_core(static, settings, lp, nparams, p, obj, leaf, d)
+    n = normals_core(static, settings, lp, nparams, p, obj, leaf, d,
+                     crowd_refs=crowd_refs)
     analytic, sdf_objs, _ = _split(static)
     if settings.ao and (analytic or sdf_objs):
-        ao = _ao_compute(static, settings, lp, nparams, p, n)
+        ao = _ao_compute(static, settings, lp, nparams, p, n,
+                         crowd_refs=crowd_refs)
     else:
         ao = jnp.ones_like(p[0])
     return t, obj, n, ao, hit_f
@@ -1638,6 +2014,10 @@ def _validate_pallas_settings(settings: RenderSettings) -> None:
         raise ValueError(
             f"step budgets must be positive; got max_steps="
             f"{settings.max_steps}, shadow_steps={settings.shadow_steps}")
+    if settings.bulb_iter not in ("std", "cheb"):
+        raise ValueError(
+            f"bulb_iter must be 'std' or 'cheb'; got "
+            f"{settings.bulb_iter!r}")
 
 
 def render_frame_pallas(static, intr, settings: RenderSettings, params,
@@ -1685,7 +2065,11 @@ def render_frame_pallas(static, intr, settings: RenderSettings, params,
     _, sdf_objs, _ = _split(static)
     t0_t = None
     if (settings.prime and sdf_objs
-            and min(H, W) >= settings.prime_min):
+            and min(H, W) >= settings.prime_min
+            # priming exists for iterated-DE scenes; with a crowd active
+            # the proxy/prime pass is skipped (crowd members are cheap
+            # primitives and _prime_body is not crowd-aware)
+            and split_crowd(static, settings)[0] is None):
         C = 4
         Hc, Wc = H2 // C, W2 // C
         Rc = 16
@@ -2029,7 +2413,11 @@ def _render_padded(static, settings: RenderSettings, params, o2, d2,
     g = jnp.full_like(p[0], bg[1])
     b = jnp.full_like(p[0], bg[2])
     hit_mask = hit_f > F32(0.5)
+    crowd, _ = split_crowd(static, settings)
+    crowd_objs = _crowd_obj_set(crowd)
     for i, oir in enumerate(ir.objects):
+        if i in crowd_objs:
+            continue  # crowd members shade via the gathered-material loop
         mat_row = params["materials"][oir.mat]
         ri, gi, bi = shade_object(mat_row, oir.shininess, ambient, ao, n, v,
                                   light_terms)
@@ -2037,6 +2425,13 @@ def _render_padded(static, settings: RenderSettings, params, o2, d2,
         r = jnp.where(sel, ri, r)
         g = jnp.where(sel, gi, g)
         b = jnp.where(sel, bi, b)
+    if crowd is not None:
+        # split-path shading runs in XLA: dynamic reads hit the jnp
+        # materials/meta arrays directly (same arithmetic as in-kernel)
+        r, g, b = _crowd_shade(
+            crowd, (crowd_meta(static, settings), lp),
+            params["materials"], obj, hit_mask, ambient, ao, n, v,
+            light_terms, (r, g, b))
 
     def flat(a):
         return a.reshape(-1)

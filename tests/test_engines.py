@@ -218,3 +218,51 @@ def test_bulb_bound_constants():
         # tool-copy drift guard (jnp-vs-numpy FP differs at ULP scale)
         de_tool = canonical_de((q[:, 0], q[:, 1], q[:, 2]), it)
         np.testing.assert_allclose(de_tool, de, atol=2e-5, rtol=1e-4)
+
+
+def test_mandelbulb_cheb_iteration_matches_std():
+    """The restructured power-8 substep (bulb_iter='cheb',
+    sdf_mandelbulb_while_cheb) is the SAME map algebraically — DE values
+    must agree to f32 reassociation noise at points the iteration
+    handles smoothly, and the two variants' renders must agree except
+    for eps-band scatter at chaotic silhouettes."""
+    import jax.numpy as jnp
+    from surfjax import (
+        Camera, Mandelbulb, Material, Plane, PointLight, RenderSettings,
+        Scene, render,
+    )
+    from surfjax.engines.sdf import (
+        sdf_mandelbulb_while, sdf_mandelbulb_while_cheb,
+    )
+
+    rng = np.random.default_rng(3)
+    pts = tuple(jnp.asarray(rng.uniform(-2.0, 2.0, 4096), jnp.float32)
+                for _ in range(3))
+    prm = jnp.asarray([0.0, 0.0, 0.0, 1.0, 2.0, 0.0, 0.0, 0.0],
+                      jnp.float32)
+    d_std = np.asarray(sdf_mandelbulb_while(prm, pts, 8, 8))
+    d_cheb = np.asarray(sdf_mandelbulb_while_cheb(prm, pts, 8, 8))
+    rel = np.abs(d_std - d_cheb) / (np.abs(d_std) + 1e-6)
+    # the chaotic iteration amplifies 1-ulp reassociation shifts near
+    # the set; the bulk of points must agree tightly
+    assert np.quantile(rel, 0.9) < 1e-4, np.quantile(rel, 0.9)
+    assert np.median(rel) < 1e-6
+
+    scene = Scene()
+    scene.add(Mandelbulb(center=(0.0, 0.0, 3.0), scale=0.9),
+              Material.lambert(albedo=(0.7, 0.5, 0.3)), engine="sdf")
+    scene.add(Plane(normal=(0.0, 1.0, 0.0), offset=-1.2),
+              Material.lambert(albedo=(0.5, 0.5, 0.5)))
+    scene.add_light(PointLight(position=(3.0, 4.0, -1.0)))
+    cam = Camera.pinhole(96, 96, fov_y_deg=45.0)
+    s = RenderSettings(shadows=True, backend="pallas", tile_rows=8,
+                       max_steps=128)
+    fb_std = render(scene, cam, s)
+    fb_cheb = render(scene, cam, s.with_(bulb_iter="cheb"))
+    hit_s = np.asarray(fb_std.hit)
+    hit_c = np.asarray(fb_cheb.hit)
+    assert (hit_s == hit_c).mean() > 0.995  # silhouette scatter only
+    both = (hit_s > 0.5) & (hit_c > 0.5)
+    d = np.abs(np.asarray(fb_std.rgb) - np.asarray(fb_cheb.rgb))
+    d_hit = d.max(axis=-1)[both]
+    assert np.quantile(d_hit, 0.9) < 2e-2, np.quantile(d_hit, 0.9)

@@ -1,17 +1,25 @@
 #!/usr/bin/env python
-"""TPU compile-time scaling vs object count (VERDICT r2 item 9).
+"""Compile+render scaling vs object count (VERDICT r2 item 9, r3 Weak #4).
 
 The pallas kernels unroll the scene statically: _read_params unpacks
-n_leaves x 8 SMEM scalars and trace_core emits one march per SDF object.
-This tool measures wall-clock compile seconds of the fused frame kernel
-at several object counts on the current backend, bounding the practical
-scene-size limit documented in docs/COMPONENTS.md.
+n_leaves x 8 SMEM scalars and trace_core emits one march per SDF object
+— warm compile measured ~0.67 s/object on TPU v5e (r3). r4 adds
+RenderSettings.vector_objects: eligible single-leaf sphere/box objects
+("crowd") march via ONE fori_loop with dynamic SMEM parameter reads, so
+compile is O(1) in crowd size. This tool measures, per object count and
+per mode (unrolled vs crowd):
 
-Usage: python tools/compile_scaling.py [counts ...]   (default 8 16 31)
+    compile  — first-dispatch wall seconds (compile + one frame)
+    render   — min-of-3 warm frame seconds (camera jittered per dispatch)
+
+documenting the crossover in docs/COMPONENTS.md ("Scene-size ceiling").
+
+Usage: python tools/compile_scaling.py [counts ...]   (default 8 16 32 64)
 """
 
 from __future__ import annotations
 
+import json
 import os
 import sys
 import time
@@ -42,32 +50,61 @@ def scene_n(n_spheres: int):
     return scene, cam
 
 
-def main():
+def measure(n: int, vector_objects: bool, repeats: int = 3):
     import jax
     import jax.numpy as jnp
     from surfjax.core.types import RenderSettings
     from surfjax.pipeline.frame import frame_step
 
-    counts = [int(a) for a in sys.argv[1:]] or [8, 16, 31]
-    settings = RenderSettings(shadows=True, max_steps=96)
+    settings = RenderSettings(shadows=True, max_steps=96,
+                              vector_objects=vector_objects)
     if jax.default_backend() == "tpu":
         settings = settings.with_(backend="pallas")
-    for n in counts:
-        scene, cam = scene_n(n)
-        static, params = scene.freeze()
-        params = {k: jnp.asarray(v) for k, v in params.items()}
-        intr = cam.intrinsics
-        R_flat = jnp.asarray(
-            np.asarray(cam.rotation, np.float32).reshape(9))
-        pos = jnp.asarray(np.asarray(cam.position, np.float32))
+    scene, cam = scene_n(n)
+    static, params = scene.freeze()
+    params = {k: jnp.asarray(v) for k, v in params.items()}
+    intr = cam.intrinsics
+    R_flat = jnp.asarray(np.asarray(cam.rotation, np.float32).reshape(9))
+    pos0 = np.asarray(cam.position, np.float32)
 
+    fn = jax.jit(lambda p, R, t: frame_step(static, intr, settings,
+                                            p, R, t))
+    t0 = time.perf_counter()
+    fb = fn(params, R_flat, jnp.asarray(pos0))
+    float(fb.rgb.mean())  # sync through the relay
+    compile_s = time.perf_counter() - t0
+
+    times = []
+    for k in range(repeats):
+        pos = jnp.asarray(pos0 + np.float32(1e-4) * (k + 1))
         t0 = time.perf_counter()
-        fb = jax.jit(lambda p, R, t: frame_step(
-            static, intr, settings, p, R, t))(params, R_flat, pos)
-        float(fb.rgb.mean())  # sync through the relay
-        dt = time.perf_counter() - t0
-        print(f"objects {n + 1:3d}: first-dispatch (compile+run) "
-              f"{dt:7.2f} s")
+        fb = fn(params, R_flat, pos)
+        float(fb.rgb.mean())
+        times.append(time.perf_counter() - t0)
+    return compile_s, float(np.min(times))
+
+
+def main():
+    import jax
+    counts = [int(a) for a in sys.argv[1:]] or [8, 16, 32, 64]
+    print(f"backend: {jax.default_backend()}")
+    rows = []
+    for n in counts:
+        for vec in (False, True):
+            mode = "crowd" if vec else "unrolled"
+            try:
+                compile_s, render_s = measure(n, vec)
+            except Exception as e:  # OOM/Mosaic limits at huge N: record
+                print(f"| objects {n + 1:4d} | {mode:8s} | FAILED: "
+                      f"{type(e).__name__}: {str(e)[:120]}")
+                continue
+            rows.append({"objects": n + 1, "mode": mode,
+                         "compile_s": round(compile_s, 2),
+                         "render_ms": round(render_s * 1e3, 2)})
+            print(f"| objects {n + 1:4d} | {mode:8s} "
+                  f"| compile {compile_s:7.2f} s "
+                  f"| render {render_s * 1e3:8.2f} ms |")
+    print(json.dumps(rows))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""One-shot TPU evidence capture for a round (r4, verdict Weak #5).
+
+The device-side gates only run when the TPU is reachable; r3 ended with
+the relay down and zero device evidence. This tool makes recovery
+cheap: probe first (fast fail), then run every TPU check in sequence,
+tee-ing everything to benchmarks/tpu_gate_<stamp>/ so one invocation
+after a relay blip captures the full round's evidence.
+
+    python tools/tpu_gate.py [--skip bench,fidelity,...]
+
+Steps (each logged, failures don't stop later steps):
+    fidelity   tools/fidelity_matrix.py --check   (all 5 configs + ULP)
+    perf       tools/perf_check.py               (headline + c2/c4 gates)
+    opparity   tools/op_parity.py --json
+    vpupeak    tools/vpu_peak.py
+    scaling    tools/compile_scaling.py 8 32 64 128
+    bench      python bench.py                   (3 fidelity modes)
+Exit code: number of failed steps (0 = all green).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import subprocess
+import sys
+import time
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _ROOT)
+
+STEPS = [
+    ("fidelity", [sys.executable, "tools/fidelity_matrix.py", "--check"]),
+    ("perf", [sys.executable, "tools/perf_check.py"]),
+    ("opparity", [sys.executable, "tools/op_parity.py", "--json"]),
+    ("vpupeak", [sys.executable, "tools/vpu_peak.py"]),
+    ("scaling", [sys.executable, "tools/compile_scaling.py",
+                 "8", "32", "64", "128"]),
+    ("bench", [sys.executable, "bench.py"]),
+]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--skip", default="",
+                    help="comma-separated step names to skip")
+    ap.add_argument("--timeout", type=float, default=3600,
+                    help="per-step wall bound (s)")
+    args = ap.parse_args()
+    skip = {s.strip() for s in args.skip.split(",") if s.strip()}
+
+    from surfjax.utils.backend_probe import probe_backend
+    probe = probe_backend()
+    if not probe.get("ok"):
+        print(f"tpu_gate: backend unavailable ({probe.get('error')})",
+              file=sys.stderr)
+        return 99
+    if probe.get("backend") != "tpu":
+        print(f"tpu_gate: backend is {probe.get('backend')!r}, not tpu — "
+              "the evidence this tool captures is TPU-only",
+              file=sys.stderr)
+        return 98
+
+    stamp = time.strftime("%Y%m%d_%H%M%S")
+    outdir = os.path.join(_ROOT, "benchmarks", f"tpu_gate_{stamp}")
+    os.makedirs(outdir, exist_ok=True)
+    failures = 0
+    for name, cmd in STEPS:
+        if name in skip:
+            print(f"== {name}: SKIPPED")
+            continue
+        print(f"== {name}: {' '.join(cmd)}")
+        t0 = time.time()
+        try:
+            proc = subprocess.run(cmd, cwd=_ROOT, capture_output=True,
+                                  text=True, timeout=args.timeout)
+            rc = proc.returncode
+            out = proc.stdout + "\n--- stderr ---\n" + proc.stderr
+        except subprocess.TimeoutExpired as e:
+            rc = -1
+            out = (e.stdout or "") + f"\n[TIMEOUT after {args.timeout}s]"
+        dt = time.time() - t0
+        with open(os.path.join(outdir, f"{name}.log"), "w") as fh:
+            fh.write(out)
+        tail = "\n".join(out.strip().splitlines()[-12:])
+        print(tail)
+        print(f"== {name}: rc={rc} ({dt:.0f}s) -> {outdir}/{name}.log\n")
+        if rc != 0:
+            failures += 1
+    print(f"tpu_gate: {failures} failed step(s); logs in {outdir}")
+    return failures
+
+
+if __name__ == "__main__":
+    sys.exit(main())
