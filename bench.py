@@ -132,11 +132,16 @@ def rays_per_frame(scene, settings, intr, n_hits: float) -> float:
 
 def run_bench(config: str | None = None, repeats: int = 3,
               width: int = 1920, height: int = 1080,
-              n_frames: int = 48) -> dict:
+              n_frames: int = 48, overrides: dict | None = None) -> dict:
     import jax
 
     scene, static, params, intr, settings, R_flat, positions = \
         metric_workload(config, width, height, n_frames)
+    if overrides:
+        # variant sweeps on the pinned workload (e.g. bulb_iter=cheb);
+        # disclosed in the JSON so an overridden run can't be mistaken
+        # for the headline
+        settings = settings.with_(**overrides)
 
     dt, n_hits = _time_mode(static, intr, settings, params, R_flat,
                             positions, repeats)
@@ -200,6 +205,8 @@ def run_bench(config: str | None = None, repeats: int = 3,
         "backend": jax.default_backend(),
         "devices": n_dev,
         "settings_backend": settings.backend,
+        **({"overrides": {k: str(v) for k, v in overrides.items()}}
+           if overrides else {}),
     }
 
 
@@ -249,8 +256,24 @@ def main():
         print(json.dumps(err))
         sys.exit(1)
 
-    config = sys.argv[1] if len(sys.argv) > 1 else None
-    result = run_bench(config=config)
+    # argv: [config] [key=value ...] — key=value pairs are
+    # RenderSettings overrides for variant sweeps (disclosed in the JSON)
+    config = None
+    overrides = {}
+    for a in sys.argv[1:]:
+        if "=" in a:
+            k, v = a.split("=", 1)
+            try:
+                v = int(v)
+            except ValueError:
+                try:
+                    v = float(v)
+                except ValueError:
+                    v = {"true": True, "false": False}.get(v.lower(), v)
+            overrides[k] = v
+        else:
+            config = a
+    result = run_bench(config=config, overrides=overrides or None)
     print(json.dumps(result))
 
 

@@ -184,3 +184,25 @@ def test_split_crowd_membership():
            engine="sdf")
     static2, _ = s2.freeze()
     assert split_crowd(static2, s_on)[0] is None
+
+
+def test_crowd_with_mesh_split_path():
+    """A mesh in the scene routes the frame through the split K1->K2
+    pipeline (fused_frame_ok is False), exercising the crowd hooks in
+    _render_padded (incl. the XLA-side gathered-material shading) —
+    same bitwise-geometry / <=2-ULP-rgb contract as the KF path."""
+    from tests.scenes import make_test_mesh
+    from surfjax import TriangleMesh
+    scene, cam, s = _crowd_scene(n_spheres=5, n_boxes=2, shadows=True)
+    v, f = make_test_mesh()
+    v = v * 0.5
+    v[:, 2] += 3.4
+    v[:, 0] += 1.2
+    scene.add(TriangleMesh(vertices=v, faces=f),
+              Material.blinn_phong(albedo=(0.7, 0.7, 0.75), shininess=32))
+    fb_unrolled = render(scene, cam, s)
+    fb_crowd = render(scene, cam, s.with_(vector_objects=True))
+    # the mesh must actually appear
+    assert (np.asarray(fb_crowd.obj_id) ==
+            len(scene.objects) - 1).sum() > 10
+    _assert_bitwise(fb_unrolled, fb_crowd)
