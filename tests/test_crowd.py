@@ -206,3 +206,28 @@ def test_crowd_with_mesh_split_path():
     assert (np.asarray(fb_crowd.obj_id) ==
             len(scene.objects) - 1).sum() > 10
     _assert_bitwise(fb_unrolled, fb_crowd)
+
+
+def test_crowd_scales_to_many_objects():
+    """Functional check well past the unrolled path's practical compile
+    ceiling: 64 single-leaf objects through the crowd fori_loop (trace
+    time is O(1) in member count; interpret-mode run here, Mosaic
+    crossover measured on TPU by tools/compile_scaling.py)."""
+    rng = np.random.default_rng(11)
+    scene = Scene()
+    for i in range(64):
+        c = (float(rng.uniform(-3, 3)), float(rng.uniform(-1.5, 2)),
+             float(rng.uniform(3, 8)))
+        scene.add(Sphere(center=c, radius=0.25),
+                  Material.lambert((0.3 + 0.4 * (i % 2), 0.5, 0.7)),
+                  engine="sdf")
+    scene.add(Plane(normal=(0, 1, 0), offset=-2.0),
+              Material.lambert((0.5, 0.5, 0.5)))
+    scene.add_light(PointLight(position=(3, 6, -1)))
+    cam = Camera.pinhole(64, 48, fov_y_deg=50.0,
+                         position=(0, 0.5, -1), target=(0, 0, 4))
+    s = RenderSettings(shadows=True, backend="pallas", tile_rows=8,
+                       max_steps=48, vector_objects=True)
+    fb = render(scene, cam, s)
+    assert float(np.asarray(fb.hit).mean()) > 0.3
+    assert len(np.unique(np.asarray(fb.obj_id))) > 40
