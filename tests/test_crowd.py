@@ -231,3 +231,29 @@ def test_crowd_scales_to_many_objects():
     fb = render(scene, cam, s)
     assert float(np.asarray(fb.hit).mean()) > 0.3
     assert len(np.unique(np.asarray(fb.obj_id))) > 40
+
+
+def test_crowd_sequence_matches_frames():
+    """The fused F-frame sequence kernel (KF sequence form) with a crowd
+    active must match per-frame renders — and the crowd flag must not
+    change sequence geometry vs the unrolled sequence."""
+    import jax
+    import jax.numpy as jnp
+    from surfjax import render_sequence
+    from surfjax.core.camera import orbit_pose
+
+    scene, cam, s = _crowd_scene(n_spheres=5, n_boxes=2, shadows=True)
+    thetas = jnp.linspace(0.0, 0.5, 3)
+    Rs, ts = jax.vmap(lambda th: orbit_pose(jnp.float32(3.5),
+                                            jnp.float32(0.8), th))(thetas)
+    ts = ts + jnp.asarray([0.0, 0.0, 3.0], jnp.float32)
+    seq_u = render_sequence(scene, cam, (Rs, ts), s)
+    seq_c = render_sequence(scene, cam, (Rs, ts),
+                            s.with_(vector_objects=True))
+    np.testing.assert_array_equal(np.asarray(seq_u.depth),
+                                  np.asarray(seq_c.depth))
+    np.testing.assert_array_equal(np.asarray(seq_u.obj_id),
+                                  np.asarray(seq_c.obj_id))
+    from surfjax.io.image import ulp_diff_f32
+    u = ulp_diff_f32(np.asarray(seq_u.rgb), np.asarray(seq_c.rgb))
+    assert u.max() <= 2, u.max()
