@@ -133,3 +133,18 @@ def test_cpp_fd_normals_mode():
     # and fd differs from auto (the mode engaged)
     a_auto = _cpp().render(scene, cam, s.with_(normals="auto"))
     assert np.abs(a["rgb"] - a_auto["rgb"]).max() > 0.0
+
+
+def test_cpp_matches_numpy_crowd_scene():
+    """Both oracles on a many-object sphere/box crowd scene (r4): the
+    per-object loops in both are N-independent scalar code, so the
+    bit-level agreement must hold at crowd scale too."""
+    from tests.test_crowd import _crowd_scene
+    scene, cam, settings = _crowd_scene(n_spheres=9, n_boxes=4,
+                                        shadows=True, ao=True)
+    a = _cpp().render(scene, cam, settings)
+    b = golden_np.render(scene, cam, settings)
+    np.testing.assert_array_equal(a["hit"], b["hit"])
+    m = max_ulp(a["rgb"], b["rgb"])
+    assert m <= 1, f"C++ vs NumPy golden differ by {m} ULP"
+    assert max_ulp(a["depth"], b["depth"]) <= 1
