@@ -239,7 +239,9 @@ def main():
     # Round-3 postmortem (VERDICT.md Missing #1): with the axon relay down,
     # the first backend touch hangs ~28 min inside plugin init. Probe with
     # a watchdog subprocess and fail FAST with a structured line instead.
-    from surfjax.utils.backend_probe import probe_backend
+    from surfjax.utils.backend_probe import (
+        honor_env_platforms, probe_backend,
+    )
 
     probe = probe_backend()
     if not probe.get("ok"):
@@ -255,6 +257,9 @@ def main():
         }
         print(json.dumps(err))
         sys.exit(1)
+    # an explicit JAX_PLATFORMS must win over the axon sitecustomize in
+    # THIS process too (the probe child already honors it)
+    honor_env_platforms()
 
     # argv: [config] [key=value ...] — key=value pairs are
     # RenderSettings overrides for variant sweeps (disclosed in the JSON)

@@ -106,15 +106,21 @@ class RenderSettings:
     # warm compile per object. Per-lane arithmetic is IDENTICAL to the
     # unrolled path (same _bound_entry + _march + per-member normals/
     # shadows/AO/shading), so geometry outputs (depth/normal/hit/obj_id)
-    # are BITWISE-equal to the unrolled path and rgb is within 1 ULP
+    # are BITWISE-equal to the unrolled path and rgb is within 2 ULP
     # (XLA fuses the gathered-material shade epilogue differently —
-    # asserted in tests/test_crowd.py); render cost stays linear in
-    # object count (per-object march semantics is what the golden
-    # oracle defines). Objects outside the crowd class (planes, bulbs,
+    # asserted in tests/test_crowd.py). One caveat: members march
+    # spheres-first (then boxes, then the non-crowd objects), so a hit
+    # landing at the BIT-IDENTICAL f32 t on two objects of different
+    # kinds tie-breaks to a different winner than the unrolled path's
+    # scene order (measure-zero; within a kind, scene order is kept).
+    # Render cost stays linear in object count (per-object march
+    # semantics is what the golden oracle defines). Objects outside the crowd class (planes, bulbs,
     # CSG tapes, analytic, mesh) keep the unrolled path. Cone-march
-    # priming is skipped when a crowd is active. Compile/render crossover
-    # vs the unrolled path: measured on TPU in docs/COMPONENTS.md
-    # ("Scene-size ceiling").
+    # priming is skipped when a crowd is active. Compile/render
+    # crossover vs the unrolled path: tools/compile_scaling.py; the TPU
+    # table lands in docs/COMPONENTS.md "Scene-size ceiling" (pending
+    # relay recovery as of r4 — CPU-backend numbers exercise the jnp
+    # pipeline only).
     vector_objects: bool = False
 
     def with_(self, **kw) -> "RenderSettings":

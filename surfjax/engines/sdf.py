@@ -195,25 +195,25 @@ def sdf_mandelbulb(prm, p, power: int, iterations: int):
 DE_UNROLL = 4  # bulb iterations per while trip; swept on TPU: 1->398.7/281.6, 2->459.8/338.1, 4->471.3/354.5, 8->436.4/334.9 Mrays/s (LoD/exact)
 
 
-def sdf_mandelbulb_while(prm, p, power: int, iterations: int):
-    """sdf_mandelbulb with the iteration as a lax.while_loop that exits as
-    soon as every lane has escaped. Identical arithmetic to the unrolled
-    version (same masked updates), but far-from-the-bulb evaluation costs
-    1-2 iterations instead of all of them. Used on the kernel path only
-    (the unrolled version stays reverse-differentiable for the IFT vjp).
-    Mosaic-safe: f32 escape mask, scalar trip count.
+def _bulb_while_driver(prm, p, power: int, iterations: int, new_w_builder):
+    """Shared while-loop scaffold for the kernel-path Mandelbulb DEs.
 
-    Two per-trip cost trims, both bitwise value-exact:
+    The std and cheb variants differ ONLY in the triplex z -> z^8 + c
+    update (new_w_builder(px, py, pz, tiny) -> new_w(x, y, z) ->
+    (wx_new, wy_new, wz_new)); everything else — escape semantics, the
+    dz recurrence and its rsqrt(0) guard, the DE_UNROLL divisor rule,
+    the log/far-field epilogue — lives here once so the variants cannot
+    silently diverge (review r4).
+
+    Exits as soon as every lane has escaped. Mosaic-safe: f32 escape
+    mask, scalar trip count. Per-trip cost trims (bitwise value-exact):
       - the escape mask is NOT a loop carry: once a lane's m crosses
         bailout2 every later update is masked off, so m is frozen above
         the bailout and `m > bailout2` IS the sticky escape state;
       - DE_UNROLL iterations run per while trip (masked substeps are
-        identity for escaped lanes), dividing the carry save/restore and
-        all-escaped-reduction overhead; worst case wastes DE_UNROLL-1
-        masked iterations per call. The unroll actually used is the
-        largest divisor of `iterations` that is <= DE_UNROLL (e.g.
-        iterations 2/4 under LoD caps -> unroll 2/4; a prime count
-        falls to 1), so the trip bound stays exact.
+        identity for escaped lanes); the unroll actually used is the
+        largest divisor of `iterations` that is <= DE_UNROLL so the
+        trip bound stays exact.
     """
     if power != 8:
         raise NotImplementedError(
@@ -229,10 +229,9 @@ def sdf_mandelbulb_while(prm, p, power: int, iterations: int):
     pz = (p[2] - c[2]) * inv_s
     m0 = (px * px + py * py) + pz * pz
     tiny = F32(1e-4)
-    # largest unroll that divides the iteration count, so the trip bound
-    # stays exact (LoD-capped calls: iterations may be 2 or 4)
     unroll = next(u for u in range(min(DE_UNROLL, iterations), 0, -1)
                   if iterations % u == 0)
+    new_w = new_w_builder(px, py, pz, tiny)
 
     def cond(s):
         i, _, _, _, _, m = s
@@ -251,27 +250,7 @@ def sdf_mandelbulb_while(prm, p, power: int, iterations: int):
         # guard gives the same dz_new = 1.
         dz_new = F32(8.0) * ((m4 * jax.lax.rsqrt(
             jnp.maximum(m, F32(1e-30)))) * dz) + F32(1.0)
-        x, y, z = wx, wy, wz
-        x2 = x * x
-        x4 = x2 * x2
-        y2 = y * y
-        y4 = y2 * y2
-        z2 = z * z
-        z4 = z2 * z2
-        k3 = x2 + z2
-        k3s = jnp.maximum(k3, tiny)
-        k37 = ((k3s * k3s) * (k3s * k3s)) * ((k3s * k3s) * k3s)
-        k2 = jax.lax.rsqrt(k37)
-        k1 = ((x4 + y4) + z4) - F32(6.0) * (y2 * z2) \
-            - F32(6.0) * (x2 * y2) + F32(2.0) * (z2 * x2)
-        k4 = (x2 - y2) + z2
-        wx_new = px + F32(64.0) * ((((x * y) * z) * (x2 - z2)) * k4) \
-            * ((x4 - F32(6.0) * (x2 * z2)) + z4) * k1 * k2
-        wy_new = py + (F32(-16.0) * (y2 * k3) * (k4 * k4) + k1 * k1)
-        wz_new = pz + F32(-8.0) * (y * k4) \
-            * ((((x4 * x4) - F32(28.0) * ((x4 * x2) * z2))
-                + F32(70.0) * (x4 * z4))
-               - F32(28.0) * ((x2 * z2) * z4) + (z4 * z4)) * k1 * k2
+        wx_new, wy_new, wz_new = new_w(wx, wy, wz)
         wx = jnp.where(active, wx_new, wx)
         wy = jnp.where(active, wy_new, wy)
         wz = jnp.where(active, wz_new, wz)
@@ -298,55 +277,54 @@ def sdf_mandelbulb_while(prm, p, power: int, iterations: int):
     return de * scale
 
 
-def sdf_mandelbulb_while_cheb(prm, p, power: int, iterations: int):
-    """sdf_mandelbulb_while with an algebraically-restructured power-8
-    substep (r4 verdict Next #2b — fewer flops per bulb iteration):
+def _new_w_std(px, py, pz, tiny):
+    """The standard trigless degree-8 triplex power expansion — the
+    oracle-matching form (identical arithmetic to sdf_mandelbulb)."""
+    def new_w(x, y, z):
+        x2 = x * x
+        x4 = x2 * x2
+        y2 = y * y
+        y4 = y2 * y2
+        z2 = z * z
+        z4 = z2 * z2
+        k3 = x2 + z2
+        k3s = jnp.maximum(k3, tiny)
+        k37 = ((k3s * k3s) * (k3s * k3s)) * ((k3s * k3s) * k3s)
+        k2 = jax.lax.rsqrt(k37)
+        k1 = ((x4 + y4) + z4) - F32(6.0) * (y2 * z2) \
+            - F32(6.0) * (x2 * y2) + F32(2.0) * (z2 * x2)
+        k4 = (x2 - y2) + z2
+        wx_new = px + F32(64.0) * ((((x * y) * z) * (x2 - z2)) * k4) \
+            * ((x4 - F32(6.0) * (x2 * z2)) + z4) * k1 * k2
+        wy_new = py + (F32(-16.0) * (y2 * k3) * (k4 * k4) + k1 * k1)
+        wz_new = pz + F32(-8.0) * (y * k4) \
+            * ((((x4 * x4) - F32(28.0) * ((x4 * x2) * z2))
+                + F32(70.0) * (x4 * z4))
+               - F32(28.0) * ((x2 * z2) * z4) + (z4 * z4)) * k1 * k2
+        return wx_new, wy_new, wz_new
+    return new_w
+
+
+def _new_w_cheb(px, py, pz, tiny):
+    """Restructured power-8 update (r4 verdict Next #2b — fewer flops):
 
       - Re/Im((x+iz)^8) via THREE complex squarings (13 ops) replace the
         expanded degree-8 polynomials of wx_new/wz_new (~31 ops); both
         branches share S = 8*y*k4*k1*k2:
             wx' = px + S*Im(w^8),  wz' = pz - S*Re(w^8)
-        (Im(w^8) = 8xz(x^2-z^2)(x^4-6x^2z^2+z^4) and Re(w^8) is the
+        (Im(w^8) = 8xz(x^2-z^2)(x^4-6x^2z^2+z^4), Re(w^8) the
         x^8-28x^6z^2+... expansion — verified to fp noise over 1e5
-        random triples, see docs/ROUND4.md).
-      - k1 = (k3-3y^2)^2 - 8y^4 replaces the 6-term expansion
-        ((x^2+z^2)^2 = x4+z4+2x2z2 absorbed into k3^2).
+        random triples, docs/ROUND4.md).
+      - k1 = (k3-3y^2)^2 - 8y^4 replaces the 6-term expansion.
 
     Hand count: ~79 -> ~65 ops/iteration (~18%). Mathematically exact;
     f32 reassociation shifts each iterate by O(1 ulp), which the chaotic
-    DE amplifies — so hits land elsewhere in the eps band at silhouettes
+    DE amplifies — hits land elsewhere in the eps band at silhouettes
     (the standard c3 carve-out class). Enable with
-    RenderSettings(bulb_iter="cheb"); fidelity is gated per-config by
+    RenderSettings(bulb_iter="cheb"); fidelity-gated per config by
     tools/fidelity_matrix.py like every other trajectory change.
     """
-    if power != 8:
-        raise NotImplementedError(
-            "Mandelbulb cheb iteration: power=8 only (same constraint as "
-            "the std pallas path).")
-    c = (prm[0], prm[1], prm[2])
-    scale = prm[3]
-    bailout2 = prm[4] * prm[4] * F32(16.0)
-    inv_s = F32(1.0) / scale
-    px = (p[0] - c[0]) * inv_s
-    py = (p[1] - c[1]) * inv_s
-    pz = (p[2] - c[2]) * inv_s
-    m0 = (px * px + py * py) + pz * pz
-    tiny = F32(1e-4)
-    unroll = next(u for u in range(min(DE_UNROLL, iterations), 0, -1)
-                  if iterations % u == 0)
-
-    def cond(s):
-        i, _, _, _, _, m = s
-        return (i < iterations) & (jnp.min(
-            jnp.where(m > bailout2, F32(1.0), F32(0.0))) < F32(0.5))
-
-    def substep(wx, wy, wz, dz, m):
-        active = m <= bailout2
-        m2 = m * m
-        m4 = m2 * m2
-        dz_new = F32(8.0) * ((m4 * jax.lax.rsqrt(
-            jnp.maximum(m, F32(1e-30)))) * dz) + F32(1.0)
-        x, y, z = wx, wy, wz
+    def new_w(x, y, z):
         x2 = x * x
         y2 = y * y
         z2 = z * z
@@ -369,28 +347,23 @@ def sdf_mandelbulb_while_cheb(prm, p, power: int, iterations: int):
         wx_new = px + s8 * im8
         wy_new = py + (F32(-16.0) * (y2 * k3) * (k4 * k4) + k1 * k1)
         wz_new = pz - s8 * re8
-        wx = jnp.where(active, wx_new, wx)
-        wy = jnp.where(active, wy_new, wy)
-        wz = jnp.where(active, wz_new, wz)
-        dz = jnp.where(active, dz_new, dz)
-        m = jnp.where(active, (wx * wx + wy * wy) + wz * wz, m)
-        return wx, wy, wz, dz, m
+        return wx_new, wy_new, wz_new
+    return new_w
 
-    def body(s):
-        i, wx, wy, wz, dz, m = s
-        for _ in range(unroll):
-            wx, wy, wz, dz, m = substep(wx, wy, wz, dz, m)
-        return i + unroll, wx, wy, wz, dz, m
 
-    _, _, _, _, dz, m = jax.lax.while_loop(
-        cond, body, (0, px, py, pz, jnp.ones_like(m0), m0))
-    r = jnp.sqrt(m)
-    de = F32(0.25) * jnp.log(jnp.maximum(m, F32(1e-30))) * r / dz
-    r0 = jnp.sqrt(m0)
-    far = r0 - F32(1.35)
-    de = jnp.where(far > F32(0.0),
-                   jnp.minimum(de, far + F32(0.1)), de)
-    return de * scale
+def sdf_mandelbulb_while(prm, p, power: int, iterations: int):
+    """The kernel-path bulb DE: standard trigless power-8 update under
+    the shared early-exit while scaffold (_bulb_while_driver). Identical
+    arithmetic to the unrolled sdf_mandelbulb (which stays
+    reverse-differentiable for the IFT vjp)."""
+    return _bulb_while_driver(prm, p, power, iterations, _new_w_std)
+
+
+def sdf_mandelbulb_while_cheb(prm, p, power: int, iterations: int):
+    """Kernel-path bulb DE with the restructured (cheaper) power-8
+    update — see _new_w_cheb for the algebra, op counts and the
+    fidelity caveat. RenderSettings(bulb_iter='cheb')."""
+    return _bulb_while_driver(prm, p, power, iterations, _new_w_cheb)
 
 
 def leaf_sdf(kind: int, prm, p, p0: int = 0, p1: int = 0):

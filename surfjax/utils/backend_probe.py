@@ -45,6 +45,13 @@ if fake == "unavailable":
     sys.exit(1)
 try:
     import jax
+    # the axon sitecustomize (when PYTHONPATH carries it) forces the
+    # platform via jax.config, which OVERRIDES the env var — re-assert
+    # the caller's explicit JAX_PLATFORMS so the probe answers for the
+    # platform the caller asked for (mirrors tests/conftest.py)
+    plat = os.environ.get("JAX_PLATFORMS", "").strip()
+    if plat:
+        jax.config.update("jax_platforms", plat)
     devs = jax.devices()
     print(json.dumps({"ok": True, "backend": jax.default_backend(),
                       "device_count": len(devs)}))
@@ -70,10 +77,13 @@ def probe_backend(timeout: float | None = None,
         timeout = float(os.environ.get("SURFJAX_PROBE_TIMEOUT", "120"))
 
     # Trivial short-circuit: an env-forced CPU platform cannot hang on
-    # the relay (this is the tests/conftest.py configuration). The fake
+    # the relay — but ONLY when no sitecustomize was loaded into this
+    # process (the axon sitecustomize forces the platform via
+    # jax.config, which overrides the env var; review r4). The fake
     # hook must still go through the subprocess, so don't short-circuit
     # when it is set.
     if (os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu"
+            and "sitecustomize" not in sys.modules
             and not os.environ.get("SURFJAX_PROBE_FAKE")):
         _CACHE = {"ok": True, "backend": "cpu", "device_count": -1}
         return _CACHE
@@ -122,6 +132,23 @@ def ensure_available_backend(timeout: float | None = None) -> dict:
         jax.config.update("jax_platforms", "cpu")
         res["fallback"] = "cpu"
     return res
+
+
+def honor_env_platforms() -> None:
+    """Re-assert an explicit JAX_PLATFORMS env var over the axon
+    sitecustomize's jax.config forcing, in THIS process.
+
+    Call after a successful probe and before the first backend touch:
+    without it, `JAX_PLATFORMS=cpu python bench.py` under a PYTHONPATH
+    that carries the sitecustomize would probe ok (the child re-asserts
+    the env var) and then hang anyway when the parent's axon-forced
+    backend initializes (review r4). No-op when the env var is unset or
+    the config already matches.
+    """
+    plat = os.environ.get("JAX_PLATFORMS", "").strip()
+    if plat:
+        import jax
+        jax.config.update("jax_platforms", plat)
 
 
 def _reset_cache_for_tests() -> None:

@@ -249,7 +249,10 @@ def one_config(path: str, check: bool = False) -> bool:
 
     if not check:
         if "c5" in name:
-            fit_check(path, THRESHOLDS[name])
+            # report-only: use the canonical c5 tolerances when this
+            # exact filename has no THRESHOLDS row (variant sweeps)
+            fit_check(path, THRESHOLDS.get(name,
+                                           THRESHOLDS["c5_anim.yaml"]))
         return True
     th = THRESHOLDS.get(name)
     if th is None:
@@ -291,6 +294,18 @@ def decompose(path: str = "configs/c3_sdf.yaml"):
 
 
 def main():
+    # the per-round gate must fail FAST on a dead relay, like bench.py /
+    # perf_check (review r4: this entry point was left unguarded)
+    from surfjax.utils.backend_probe import (
+        honor_env_platforms, probe_backend,
+    )
+    probe = probe_backend()
+    if not probe.get("ok"):
+        print(f"fidelity_matrix: backend unavailable "
+              f"({probe.get('error')})", file=sys.stderr)
+        return 2
+    honor_env_platforms()
+
     import jax
     print(f"backend: {jax.default_backend()}")
     args = [a for a in sys.argv[1:] if not a.startswith("--")]

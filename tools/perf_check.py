@@ -92,7 +92,9 @@ def main():
                     help="skip the aux workload rows (c2/c4)")
     args = ap.parse_args()
 
-    from surfjax.utils.backend_probe import probe_backend
+    from surfjax.utils.backend_probe import (
+        honor_env_platforms, probe_backend,
+    )
     probe = probe_backend()
     if not probe.get("ok"):
         print(f"perf_check: backend unavailable ({probe.get('error')})",
@@ -101,6 +103,7 @@ def main():
     if probe.get("backend") != "tpu":
         print("perf_check: not on TPU, skipping")
         return 0
+    honor_env_platforms()
 
     from bench import run_bench
     rows = _load_history()

@@ -79,7 +79,11 @@ def main():
             out = proc.stdout + "\n--- stderr ---\n" + proc.stderr
         except subprocess.TimeoutExpired as e:
             rc = -1
-            out = (e.stdout or "") + f"\n[TIMEOUT after {args.timeout}s]"
+            # TimeoutExpired carries BYTES even with text=True
+            partial = e.stdout or b""
+            if isinstance(partial, bytes):
+                partial = partial.decode("utf-8", "replace")
+            out = partial + f"\n[TIMEOUT after {args.timeout}s]"
         dt = time.time() - t0
         with open(os.path.join(outdir, f"{name}.log"), "w") as fh:
             fh.write(out)
