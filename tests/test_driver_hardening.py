@@ -63,9 +63,36 @@ class TestProbe:
         from surfjax.utils import backend_probe as bp
         monkeypatch.delenv("SURFJAX_PROBE_FAKE", raising=False)
         bp._reset_cache_for_tests()
-        # conftest forces JAX_PLATFORMS=cpu -> trivially ok (no subprocess)
+        # conftest forces JAX_PLATFORMS=cpu -> ok (short-circuit when no
+        # sitecustomize is loaded, subprocess otherwise)
         res = bp.probe_backend(use_cache=False)
         assert res["ok"] is True
+
+    def test_sitecustomize_defeats_short_circuit(self, monkeypatch):
+        """With a sitecustomize loaded, JAX_PLATFORMS=cpu alone must NOT
+        short-circuit (the axon sitecustomize forces the platform via
+        jax.config, overriding the env var — review r4): the probe has
+        to go through the subprocess, whose child re-asserts the env
+        var and answers for the platform the caller asked for."""
+        import subprocess as sp
+        import sys as _sys
+        from surfjax.utils import backend_probe as bp
+        monkeypatch.delenv("SURFJAX_PROBE_FAKE", raising=False)
+        monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+        monkeypatch.setitem(_sys.modules, "sitecustomize", object())
+        calls = []
+        real_run = sp.run
+
+        def spy(*a, **kw):
+            calls.append(a)
+            return real_run(*a, **kw)
+
+        monkeypatch.setattr(sp, "run", spy)
+        bp._reset_cache_for_tests()
+        res = bp.probe_backend(timeout=120.0, use_cache=False)
+        assert calls, "probe must use the subprocess when sitecustomize " \
+                      "is present"
+        assert res["ok"] is True and res["backend"] == "cpu"
 
 
 class TestBenchFastFail:
