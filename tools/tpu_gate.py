@@ -32,6 +32,11 @@ sys.path.insert(0, _ROOT)
 
 STEPS = [
     ("fidelity", [sys.executable, "tools/fidelity_matrix.py", "--check"]),
+    # the cheb-iteration candidate (default-off): gate + measure so a
+    # flip-the-default decision is one look at the logs
+    ("fidelity_cheb", [sys.executable, "tools/fidelity_matrix.py",
+                       "--check", "configs/c3_sdf_cheb.yaml"]),
+    ("bench_cheb", [sys.executable, "bench.py", "bulb_iter=cheb"]),
     ("perf", [sys.executable, "tools/perf_check.py"]),
     ("opparity", [sys.executable, "tools/op_parity.py", "--json"]),
     ("vpupeak", [sys.executable, "tools/vpu_peak.py"]),
