@@ -2020,6 +2020,21 @@ def _validate_pallas_settings(settings: RenderSettings) -> None:
             f"{settings.bulb_iter!r}")
 
 
+def _maybe_warn_crowd(static, settings: RenderSettings) -> None:
+    """Large scene + flag off -> point the user at vector_objects (the
+    statically-unrolled path compiles ~0.67 s/object on TPU)."""
+    if settings.vector_objects:
+        return
+    probe = split_crowd(static, settings.with_(vector_objects=True))[0]
+    if probe is not None and len(probe.members) >= 24:
+        import warnings
+        warnings.warn(
+            f"scene has {len(probe.members)} crowd-eligible objects; "
+            "the statically-unrolled pallas path compiles ~0.67 s/object "
+            "on TPU — consider RenderSettings(vector_objects=True) "
+            "(O(1) compile, bitwise-equal geometry)", RuntimeWarning)
+
+
 def render_frame_pallas(static, intr, settings: RenderSettings, params,
                         R_flat, cam_pos) -> FrameBuffers:
     """Full pallas frame with SQUARE pixel tiles.
@@ -2033,6 +2048,7 @@ def render_frame_pallas(static, intr, settings: RenderSettings, params,
     from surfjax.core.camera import camera_ray_dirs_dyn
 
     _validate_pallas_settings(settings)
+    _maybe_warn_crowd(static, settings)
     H, W = intr.height, intr.width
     R = settings.tile_rows
     H2 = ((H + R - 1) // R) * R
@@ -2165,6 +2181,7 @@ def render_sequence_pallas(static, intr, settings: RenderSettings, params,
     single-frame construct). Returns FrameBuffers stacked on a leading
     frame axis: rgb (F, H, W, 3), depth/hit (F, H, W), ..."""
     _validate_pallas_settings(settings)
+    _maybe_warn_crowd(static, settings)
     H, W = intr.height, intr.width
     R = settings.tile_rows
     H2 = ((H + R - 1) // R) * R
