@@ -99,9 +99,11 @@ class RenderSettings:
     # OFF until its TPU perf + fidelity are measured.
     bulb_iter: str = "std"
     # Vectorized object loop for LARGE scenes (r3 verdict Weak #4): with
-    # the flag on, single-leaf positively-signed sphere/box SDF objects
-    # (the "crowd") are marched/shaded by ONE lax.fori_loop whose body
-    # reads each member's parameters dynamically (SMEM scalar reads),
+    # the flag on, single-leaf positively-signed sphere/box objects of
+    # the SDF AND analytic engines (the "crowd") are traced/shaded by
+    # lax.fori_loops whose bodies read each member's parameters
+    # dynamically (SMEM scalar reads) — SDF members march, analytic
+    # members take their exact interval hits and closed-form normals —
     # instead of the per-object static unrolling that costs ~0.67 s of
     # warm compile per object. Per-lane arithmetic is IDENTICAL to the
     # unrolled path (same _bound_entry + _march + per-member normals/

@@ -675,45 +675,84 @@ def _fd_normal(sdf_fn, p, eps: float):
 # ---------------------------------------------------------------------------
 
 class CrowdIR(NamedTuple):
-    members: Tuple      # ((obj_idx, ObjectIR), ...) spheres first
-    n_sphere: int
+    """Crowd membership, partitioned into four statically-kinded
+    sections so every fori_loop body is single-kind/single-engine:
+    members = sdf spheres ++ sdf boxes ++ analytic spheres ++ analytic
+    boxes (scene order within each section)."""
+    members: Tuple      # ((obj_idx, ObjectIR), ...) in section order
+    n_sph_sdf: int
+    n_box_sdf: int
+    n_sph_ana: int
+    n_box_ana: int
     shin_groups: Tuple  # distinct static shininess values (group order)
+
+    @property
+    def sdf_ranges(self):
+        a = self.n_sph_sdf
+        return ((0, a, True), (a, a + self.n_box_sdf, False))
+
+    @property
+    def ana_ranges(self):
+        s = self.n_sph_sdf + self.n_box_sdf
+        a = s + self.n_sph_ana
+        return ((s, a, True), (a, a + self.n_box_ana, False))
+
+    @property
+    def all_ranges(self):
+        return self.sdf_ranges + self.ana_ranges
+
+    @property
+    def has_sdf(self):
+        return self.n_sph_sdf + self.n_box_sdf > 0
+
+    @property
+    def has_ana(self):
+        return self.n_sph_ana + self.n_box_ana > 0
 
 
 def split_crowd(static, settings):
-    """-> (CrowdIR | None, rest_sdf [(i, oir), ...]).
+    """-> (CrowdIR | None, rest_analytic, rest_sdf) — each rest a
+    [(i, oir), ...] of that engine's non-crowd objects.
 
-    Crowd-eligible: SDF engine, single positive sphere/box leaf. The
-    crowd forms only with vector_objects on and >= 2 eligible members
-    (below that the unrolled path compiles faster and identically)."""
+    Crowd-eligible: single positive sphere/box leaf on the SDF OR the
+    analytic engine (planes, bulbs, CSG tapes, meshes stay unrolled).
+    The crowd forms only with vector_objects on and >= 2 eligible
+    members (below that the unrolled path compiles fast and
+    identically)."""
     from surfjax.core.scene_compile import LEAF_BOX, LEAF_SPHERE
-    _, sdf_objs, _ = _split(static)
+    analytic, sdf_objs, _ = _split(static)
     if not settings.vector_objects:
-        return None, sdf_objs
-    crowd, rest = [], []
-    for i, oir in sdf_objs:
+        return None, analytic, sdf_objs
+
+    def eligible(oir):
         lf = oir.leaves[0] if len(oir.leaves) == 1 else None
-        if (len(oir.nodes) == 1 and lf is not None and lf.sign > 0
-                and lf.kind in (LEAF_SPHERE, LEAF_BOX)):
-            crowd.append((i, oir))
-        else:
-            rest.append((i, oir))
-    if len(crowd) < 2:
-        return None, sdf_objs
-    from surfjax.core.scene_compile import LEAF_SPHERE as _SPH
-    spheres = [m for m in crowd if m[1].leaves[0].kind == _SPH]
-    boxes = [m for m in crowd if m[1].leaves[0].kind != _SPH]
-    groups: list = []
-    for _, oir in spheres + boxes:
+        return (len(oir.nodes) == 1 and lf is not None and lf.sign > 0
+                and lf.kind in (LEAF_SPHERE, LEAF_BOX))
+
+    def pick(objs):
+        members = [(i, o) for i, o in objs if eligible(o)]
+        rest = [(i, o) for i, o in objs if not eligible(o)]
+        sph = [m for m in members if m[1].leaves[0].kind == LEAF_SPHERE]
+        box = [m for m in members if m[1].leaves[0].kind == LEAF_BOX]
+        return sph, box, rest
+
+    sph_s, box_s, rest_sdf = pick(sdf_objs)
+    sph_a, box_a, rest_ana = pick(analytic)
+    members = sph_s + box_s + sph_a + box_a
+    if len(members) < 2:
+        return None, analytic, sdf_objs
+    groups = []
+    for _, oir in members:
         if oir.shininess not in groups:
             groups.append(oir.shininess)
-    return CrowdIR(tuple(spheres + boxes), len(spheres),
-                   tuple(groups)), rest
+    return (CrowdIR(tuple(members), len(sph_s), len(box_s), len(sph_a),
+                    len(box_a), tuple(groups)),
+            rest_ana, rest_sdf)
 
 
 @functools.lru_cache(maxsize=64)
 def _crowd_meta_cached(static, settings):
-    crowd, _ = split_crowd(static, settings)
+    crowd, _, _ = split_crowd(static, settings)
     if crowd is None:
         return np.zeros((1, 4), np.int32)
     rows = [[oir.leaves[0].slot, i, oir.mat,
@@ -756,17 +795,46 @@ def _crowd_leaf_sdf(prm, is_sphere: bool):
     return lambda p: sdf_box(prm, p)
 
 
-def _crowd_sections(crowd, fn, carry):
-    """Run fn(j, is_sphere, carry) over members via two statically-kinded
-    fori_loops (spheres [0, n_sphere), boxes [n_sphere, n))."""
-    n = len(crowd.members)
-    if crowd.n_sphere > 0:
-        carry = jax.lax.fori_loop(
-            0, crowd.n_sphere, lambda j, c: fn(j, True, c), carry)
-    if n > crowd.n_sphere:
-        carry = jax.lax.fori_loop(
-            crowd.n_sphere, n, lambda j, c: fn(j, False, c), carry)
+def _crowd_sections(ranges, fn, carry):
+    """Run fn(j, is_sphere, carry) over the given member index ranges
+    ((lo, hi, is_sphere), ...) — one statically-kinded fori_loop per
+    non-empty range (see CrowdIR.sdf_ranges/ana_ranges/all_ranges)."""
+    for lo, hi, is_sphere in ranges:
+        if hi > lo:
+            carry = jax.lax.fori_loop(
+                lo, hi, lambda j, c, k=is_sphere: fn(j, k, c), carry)
     return carry
+
+
+def _leaf_exact_t(prm, is_sphere: bool, o, d, t_min, t_max):
+    """Nearest boundary t of a single positive sphere/box leaf in
+    (t_min, t_max) — the exact same interval arithmetic as
+    intersect_analytic's single-leaf fast path (engines/analytic.py),
+    with the member's params read dynamically. Miss: BIG."""
+    from surfjax.core.scene_compile import LEAF_BOX, LEAF_SPHERE
+    from surfjax.engines.analytic import leaf_interval
+    kind = LEAF_SPHERE if is_sphere else LEAF_BOX
+    t0, t1 = leaf_interval(kind, prm, o, d)
+    e0 = (t0 > t_min) & (t0 < t_max)
+    e1 = (t1 > t_min) & (t1 < t_max)
+    return jnp.where(e0, t0, jnp.where(e1, t1, BIG))
+
+
+def _crowd_analytic_trace(crowd, crowd_refs, o, d, t_min, t_max, state):
+    """Crowd section of the analytic primary pass: exact per-member
+    nearest hits merged like the unrolled analytic loop.
+    state/-> (t_a, obj, leaf)."""
+    def member(j, is_sphere, carry):
+        t_a, obj, leaf = carry
+        prm, obj_f, _, _ = _crowd_member(crowd_refs, j)
+        t_j = _leaf_exact_t(prm, is_sphere, o, d, t_min, t_max)
+        better = t_j < t_a
+        t_a = jnp.where(better, t_j, t_a)
+        obj = jnp.where(better, obj_f, obj)
+        leaf = jnp.where(better, F32(0.0), leaf)
+        return (t_a, obj, leaf)
+
+    return _crowd_sections(crowd.ana_ranges, member, state)
 
 
 def _crowd_trace(crowd, crowd_refs, o, d, t_start, settings,
@@ -792,13 +860,18 @@ def _crowd_trace(crowd, crowd_refs, o, d, t_start, settings,
         unres = jnp.maximum(unres, un_j)
         return (t, obj, leaf, t_clip, unres)
 
-    return _crowd_sections(crowd, member, state)
+    return _crowd_sections(crowd.sdf_ranges, member, state)
 
 
 def _crowd_normals(crowd, crowd_refs, p, obj, settings, n):
-    """Per-member FD normals (cond-gated per tile), same 4-tap
-    tetrahedron on the member's OWN SDF as the unrolled path."""
-    def member(j, is_sphere, carry):
+    """Per-member normals, matching the unrolled path\'s per-engine
+    selection: SDF members always take the 4-tap FD tetrahedron on
+    their OWN SDF (cond-gated per tile); analytic members take the
+    closed-form leaf normal under normals="auto" and FD under "fd"."""
+    from surfjax.engines.analytic import leaf_normal
+    from surfjax.core.scene_compile import LEAF_BOX, LEAF_SPHERE
+
+    def member_fd(j, is_sphere, carry):
         nx, ny, nz = carry
         prm, obj_f, _, _ = _crowd_member(crowd_refs, j)
         sdf_j = _crowd_leaf_sdf(prm, is_sphere)
@@ -812,7 +885,19 @@ def _crowd_normals(crowd, crowd_refs, p, obj, settings, n):
         return (jnp.where(sel, n_s[0], nx), jnp.where(sel, n_s[1], ny),
                 jnp.where(sel, n_s[2], nz))
 
-    return _crowd_sections(crowd, member, n)
+    def member_analytic(j, is_sphere, carry):
+        nx, ny, nz = carry
+        prm, obj_f, _, _ = _crowd_member(crowd_refs, j)
+        kind = LEAF_SPHERE if is_sphere else LEAF_BOX
+        n_s = leaf_normal(kind, prm, p)
+        sel = obj == obj_f
+        return (jnp.where(sel, n_s[0], nx), jnp.where(sel, n_s[1], ny),
+                jnp.where(sel, n_s[2], nz))
+
+    if settings.normals == "auto":
+        n = _crowd_sections(crowd.sdf_ranges, member_fd, n)
+        return _crowd_sections(crowd.ana_ranges, member_analytic, n)
+    return _crowd_sections(crowd.all_ranges, member_fd, n)
 
 
 def _crowd_ao_terms(crowd, crowd_refs, p_off, n, settings, terms,
@@ -839,7 +924,7 @@ def _crowd_ao_terms(crowd, crowd_refs, p_off, n, settings, terms,
                           for _ in range(n_terms)))
         return tuple(jnp.maximum(a, b) for a, b in zip(terms, t_j))
 
-    return _crowd_sections(crowd, member, terms)
+    return _crowd_sections(crowd.all_ranges, member, terms)
 
 
 def _crowd_hard_vis(crowd, crowd_refs, o, l, dist, settings, steps: int,
@@ -866,7 +951,17 @@ def _crowd_hard_vis(crowd, crowd_refs, o, l, dist, settings, steps: int,
         unres = jnp.maximum(unres, un_j)
         return (vis, unres)
 
-    return _crowd_sections(crowd, member, state)
+    def member_analytic(j, is_sphere, carry):
+        # exact any-hit, same interval arithmetic as intersect_analytic\'s
+        # single-leaf fast path (engines/analytic.py)
+        vis, unres = carry
+        prm, _, _, _ = _crowd_member(crowd_refs, j)
+        t_j = _leaf_exact_t(prm, is_sphere, o, l, F32(eps), dist)
+        vis = vis * jnp.where(t_j < dist, F32(0.0), F32(1.0))
+        return (vis, unres)
+
+    state = _crowd_sections(crowd.sdf_ranges, member, state)
+    return _crowd_sections(crowd.ana_ranges, member_analytic, state)
 
 
 def _crowd_soft_vis(crowd, crowd_refs, o, l, dist, settings, steps: int,
@@ -893,7 +988,7 @@ def _crowd_soft_vis(crowd, crowd_refs, o, l, dist, settings, steps: int,
                                 relax=settings.over_relax)
         return (jnp.minimum(soft_vis, v_j), jnp.maximum(unres, un_j))
 
-    return _crowd_sections(crowd, member, state)
+    return _crowd_sections(crowd.all_ranges, member, state)
 
 
 def _crowd_shade(crowd, crowd_refs, mat_table, obj, hit_mask, ambient,
@@ -916,7 +1011,7 @@ def _crowd_shade(crowd, crowd_refs, mat_table, obj, hit_mask, ambient,
         return (mats, grp, isc)
 
     mats, grp, isc = _crowd_sections(
-        crowd, lambda j, _is, c: gather(j, c),
+        crowd.all_ranges, lambda j, _is, c: gather(j, c),
         (tuple(zeros for _ in range(9)), zeros, zeros))
 
     r, g, b = rgb
@@ -960,9 +1055,9 @@ def trace_core(static, settings: RenderSettings, lp, nparams, o, d,
     # merged by the caller; this core handles analytic + SDF only
     crowd = None
     if crowd_refs is not None:
-        crowd, sdf_rest = split_crowd(static, settings)
+        crowd, ana_rest, sdf_rest = split_crowd(static, settings)
         if crowd is not None:
-            sdf_objs = sdf_rest
+            analytic, sdf_objs = ana_rest, sdf_rest
 
     t_a = jnp.full_like(o[0], BIG)
     obj = jnp.full_like(o[0], -1.0)
@@ -974,9 +1069,15 @@ def trace_core(static, settings: RenderSettings, lp, nparams, o, d,
         t_a = jnp.where(better, t_i, t_a)
         obj = jnp.where(better, F32(float(i)), obj)
         leaf = jnp.where(better, leaf_i.astype(jnp.float32), leaf)
+    if crowd is not None and crowd.has_ana:
+        # exact analytic crowd hits merge into t_a BEFORE the SDF
+        # marches so they clip the marches exactly like unrolled
+        # analytic objects do
+        t_a, obj, leaf = _crowd_analytic_trace(
+            crowd, crowd_refs, o, d, t_min, t_max, (t_a, obj, leaf))
 
     t = t_a
-    if crowd is not None:
+    if crowd is not None and crowd.has_sdf:
         steps = march_cap if march_cap > 0 else settings.max_steps
         t_clip = jnp.minimum(t_a, F32(t_max))
         t_start = (F32(t_min) * jnp.ones_like(o[0]) if t0 is None
@@ -1059,9 +1160,9 @@ def normals_core(static, settings: RenderSettings, lp, nparams, p, obj, leaf,
     analytic, sdf_objs, _ = _split(static)
     crowd = None
     if crowd_refs is not None:
-        crowd, sdf_rest = split_crowd(static, settings)
+        crowd, ana_rest, sdf_rest = split_crowd(static, settings)
         if crowd is not None:
-            sdf_objs = sdf_rest
+            analytic, sdf_objs = ana_rest, sdf_rest
     nx = jnp.zeros_like(p[0])
     ny = jnp.zeros_like(p[0])
     nz = jnp.ones_like(p[0])
@@ -1250,9 +1351,9 @@ def visibility_core(static, settings: RenderSettings, lp, nparams,
     analytic, sdf_objs, _ = _split(static)
     crowd = None
     if crowd_refs is not None:
-        crowd, sdf_rest = split_crowd(static, settings)
+        crowd, ana_rest, sdf_rest = split_crowd(static, settings)
         if crowd is not None:
-            sdf_objs = sdf_rest
+            analytic, sdf_objs = ana_rest, sdf_rest
     vis = jnp.ones_like(o[0])
     eps = settings.shadow_eps
 
@@ -1484,9 +1585,9 @@ def _ao_compute(static, settings, lp, nparams, p, n,
     analytic, sdf_only, _ = _split(static)
     crowd = None
     if crowd_refs is not None:
-        crowd, sdf_rest = split_crowd(static, settings)
+        crowd, ana_rest, sdf_rest = split_crowd(static, settings)
         if crowd is not None:
-            sdf_only = sdf_rest
+            analytic, sdf_only = ana_rest, sdf_rest
     sdf_objs = analytic + sdf_only  # AO probes every non-mesh object
     eps = F32(settings.shadow_eps)
     if already_offset:
@@ -1735,7 +1836,7 @@ def _kframe_body(static, settings, n_leaves, n_nodes, intr, tx_tiles,
     from surfjax.core.scene_compile import LIGHT_POINT
     lp, nparams = _read_params(lp_ref, np_ref, n_leaves, n_nodes)
     crowd_refs = (cm_ref, lp_ref)
-    crowd, _ = split_crowd(static, settings)
+    crowd, _, _ = split_crowd(static, settings)
     R = r_ref.shape[0]
 
     # ray generation from the grid index (exact same arithmetic as
@@ -2430,7 +2531,7 @@ def _render_padded(static, settings: RenderSettings, params, o2, d2,
     g = jnp.full_like(p[0], bg[1])
     b = jnp.full_like(p[0], bg[2])
     hit_mask = hit_f > F32(0.5)
-    crowd, _ = split_crowd(static, settings)
+    crowd, _, _ = split_crowd(static, settings)
     crowd_objs = _crowd_obj_set(crowd)
     for i, oir in enumerate(ir.objects):
         if i in crowd_objs:

@@ -154,7 +154,7 @@ def test_crowd_vs_golden():
 
 
 def test_split_crowd_membership():
-    from surfjax import Mandelbulb, smooth_union
+    from surfjax import Mandelbulb, smooth_union, union
     from surfjax.kernels.render_tile import split_crowd
     scene = Scene()
     scene.add(Sphere(center=(0, 0, 3), radius=0.4),
@@ -167,16 +167,25 @@ def test_split_crowd_membership():
                            Sphere(center=(0.4, 1, 3), radius=0.3), 0.2),
               Material.lambert(), engine="sdf")  # excluded: CSG tape
     scene.add(Plane(normal=(0, 1, 0), offset=-1.0),
-              Material.lambert())  # excluded: analytic engine
+              Material.lambert())  # excluded: plane leaf (unboundable)
+    scene.add(Sphere(center=(2, 0, 3), radius=0.3),
+              Material.lambert())  # analytic sphere: eligible (r4)
+    scene.add(union(Sphere(center=(0, 2, 3), radius=0.3),
+                    Box(center=(0.4, 2, 3), half_extents=(0.2,) * 3)),
+              Material.lambert())  # excluded: analytic CSG
     static, _ = scene.freeze()
     s_on = RenderSettings(vector_objects=True)
-    crowd, rest = split_crowd(static, s_on)
+    crowd, rest_ana, rest_sdf = split_crowd(static, s_on)
     assert crowd is not None
-    assert len(crowd.members) == 2 and crowd.n_sphere == 1
-    assert {i for i, _ in rest} == {2, 3}
+    assert len(crowd.members) == 3
+    assert (crowd.n_sph_sdf, crowd.n_box_sdf,
+            crowd.n_sph_ana, crowd.n_box_ana) == (1, 1, 1, 0)
+    assert {i for i, _ in rest_sdf} == {2, 3}
+    assert {i for i, _ in rest_ana} == {4, 6}
     # flag off -> no crowd ever
-    crowd_off, rest_off = split_crowd(static, RenderSettings())
-    assert crowd_off is None and len(rest_off) == 4
+    crowd_off, ana_off, sdf_off = split_crowd(static, RenderSettings())
+    assert crowd_off is None
+    assert len(sdf_off) == 4 and len(ana_off) == 3
 
     # below the 2-member threshold -> unrolled
     s2 = Scene()
@@ -184,6 +193,50 @@ def test_split_crowd_membership():
            engine="sdf")
     static2, _ = s2.freeze()
     assert split_crowd(static2, s_on)[0] is None
+
+
+def test_crowd_analytic_members_bitwise():
+    """Analytic single-leaf spheres/boxes join the crowd (r4): exact
+    interval hits, closed-form normals under "auto", exact shadow
+    any-hits — same bitwise-geometry contract vs the unrolled path."""
+    rng = np.random.default_rng(13)
+    scene = Scene()
+    mats = [Material.lambert(albedo=(0.7, 0.4, 0.3)),
+            Material.blinn_phong(albedo=(0.3, 0.6, 0.8), shininess=16)]
+    for k in range(6):
+        c = (float(rng.uniform(-1.6, 1.6)), float(rng.uniform(-0.6, 1.0)),
+             float(rng.uniform(2.2, 4.2)))
+        scene.add(Sphere(center=c, radius=float(rng.uniform(0.15, 0.3))),
+                  mats[k % 2])  # ANALYTIC engine (default)
+    for k in range(3):
+        c = (float(rng.uniform(-1.6, 1.6)), float(rng.uniform(-0.6, 1.0)),
+             float(rng.uniform(2.2, 4.2)))
+        scene.add(Box(center=c,
+                      half_extents=tuple(
+                          float(x) for x in rng.uniform(0.1, 0.25, 3))),
+                  mats[(k + 1) % 2])
+    # plus a couple of SDF members so both engines ride the same crowd
+    for k in range(3):
+        c = (float(rng.uniform(-1.6, 1.6)), float(rng.uniform(-0.6, 1.0)),
+             float(rng.uniform(2.2, 4.2)))
+        scene.add(Sphere(center=c, radius=0.2), mats[k % 2], engine="sdf")
+    scene.add(Plane(normal=(0.0, 1.0, 0.0), offset=-1.0),
+              Material.lambert(albedo=(0.5, 0.5, 0.5)))
+    scene.add_light(PointLight(position=(3.0, 5.0, -1.0)))
+    cam = Camera.pinhole(128, 96, fov_y_deg=50.0,
+                         position=(0.0, 0.6, -0.5), target=(0.0, 0.0, 3.0))
+    s = RenderSettings(shadows=True, ao=True, backend="pallas",
+                       tile_rows=8, max_steps=96)
+    fb_u = render(scene, cam, s)
+    fb_c = render(scene, cam, s.with_(vector_objects=True))
+    assert len(np.unique(np.asarray(fb_c.obj_id))) > 6
+    _assert_bitwise(fb_u, fb_c)
+    # and under soft shadows (closed-form sphere penumbrae for both
+    # engines; analytic boxes marched via their SDF form)
+    fb_us = render(scene, cam, s.with_(soft_shadows=True))
+    fb_cs = render(scene, cam, s.with_(soft_shadows=True,
+                                       vector_objects=True))
+    _assert_bitwise(fb_us, fb_cs)
 
 
 def test_crowd_with_mesh_split_path():
