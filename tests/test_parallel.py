@@ -57,3 +57,23 @@ def test_pallas_backend_under_shard_map():
     np.testing.assert_allclose(np.asarray(ref.rgb), np.asarray(out.rgb),
                                atol=1e-5)
     np.testing.assert_array_equal(np.asarray(ref.hit), np.asarray(out.hit))
+
+
+def test_crowd_pallas_under_shard_map():
+    """The crowd (vector_objects) kernels under shard_map: each device
+    runs the fori_loop crowd path on its ray shard; output must match
+    the unsharded crowd render (r4)."""
+    import sys
+    sys.path.insert(0, __file__.rsplit("/", 2)[0])
+    from tests.test_crowd import _crowd_scene
+    scene, cam, settings = _crowd_scene(n_spheres=6, n_boxes=2,
+                                        shadows=True)
+    settings = settings.with_(vector_objects=True)
+    ref = render(scene, cam, settings)
+    out = render_frame_sharded(scene, cam, settings, make_mesh(1, 8))
+    np.testing.assert_allclose(np.asarray(ref.rgb), np.asarray(out.rgb),
+                               atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(ref.hit),
+                                  np.asarray(out.hit))
+    np.testing.assert_array_equal(np.asarray(ref.obj_id),
+                                  np.asarray(out.obj_id))
