@@ -193,6 +193,7 @@ def run_bench(config: str | None = None, repeats: int = 3,
         "secondary_lod_iters": settings.secondary_lod_iters,
         "ao_lod_iters": settings.ao_lod_iters,
         "over_relax": settings.over_relax,
+        "bulb_iter": settings.bulb_iter,
         "frames_per_sec": round(1.0 / dt, 4),
         "rays_per_frame": int(rpf),
         "primary_rays": int(primary),

@@ -492,6 +492,20 @@ def _sphere_trace_impl(oir: ObjectIR, leaf_params, node_params, o, d,
 # methods (SURVEY.md §7 hard part 4).
 
 import functools as _functools
+import os as _os
+
+# IFT silhouette-denominator clamp (see _sphere_trace_bwd). Env override
+# exists for attribution sweeps (tools/c5_attribution.py measures grad
+# cross-backend agreement vs clamp). Default MEASURED on the c5 pose
+# probe (TPU, 2026-08-18): at 1e-4 the clamp is inactive (zero hit px
+# have |∇f·d| < 1e-3; q1 of the distribution is 1.0e-1) yet device-vs-
+# CPU grad rel L2 is 1.87e-1 — a handful of near-grazing lanes amplify
+# FP-noise-limited contributions by up to 1/clamp. At 1e-2 the clamp
+# touches 3/19629 hit px (0.015%) and grad rel L2 drops to 4.3e-2
+# (cos 0.9991); the residual is 9 cross-backend hit-flip px (whole-
+# contribution flips no clamp can reconcile). 1e-1 would touch 0.9% of
+# px for 5.6e-3 — too invasive. So 1e-2.
+_IFT_DENOM_CLAMP = float(_os.environ.get("SURFJAX_IFT_CLAMP", "1e-2"))
 
 
 @_functools.partial(jax.custom_vjp, nondiff_argnums=(0, 5, 7, 8, 9))
@@ -522,9 +536,15 @@ def _sphere_trace_bwd(oir, t_min, max_steps, hit_eps, eps_scale, res, cts):
     ones = jnp.ones_like(t)
     _, _, gx, gy, gz = vjp(ones)
     denom = (gx * d[0] + gy * d[1]) + gz * d[2]
-    # clamp |denom| away from 0 (grazing silhouettes)
-    denom = jnp.where(jnp.abs(denom) < F32(1e-4),
-                      jnp.where(denom >= F32(0.0), F32(1e-4), F32(-1e-4)),
+    # Clamp |denom| away from 0 (grazing silhouettes). The clamp floor is
+    # the IFT's amplification bound: near-silhouette lanes scale g_t by up
+    # to 1/clamp, so a too-small floor lets a handful of grazing pixels
+    # dominate the image gradient with FP-noise-limited contributions
+    # (measured: on the c5 pose probe, TPU-vs-CPU grad rel L2 was 1.9e-1
+    # at clamp=1e-4 — tools/c5_attribution.py pins the dependence).
+    clamp = F32(_IFT_DENOM_CLAMP)
+    denom = jnp.where(jnp.abs(denom) < clamp,
+                      jnp.where(denom >= F32(0.0), clamp, -clamp),
                       denom)
     scale = jnp.where(hit, -g_t / denom, F32(0.0))
     g_lp, g_np, sgx, sgy, sgz = vjp(scale)

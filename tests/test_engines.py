@@ -257,7 +257,8 @@ def test_mandelbulb_cheb_iteration_matches_std():
     cam = Camera.pinhole(96, 96, fov_y_deg=45.0)
     s = RenderSettings(shadows=True, backend="pallas", tile_rows=8,
                        max_steps=128)
-    fb_std = render(scene, cam, s)
+    # explicit on BOTH sides — the default flipped to cheb (r4)
+    fb_std = render(scene, cam, s.with_(bulb_iter="std"))
     fb_cheb = render(scene, cam, s.with_(bulb_iter="cheb"))
     hit_s = np.asarray(fb_std.hit)
     hit_c = np.asarray(fb_cheb.hit)

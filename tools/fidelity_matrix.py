@@ -52,22 +52,37 @@ DEFAULT_CONFIGS = [
 # COMPONENTS.md "Device-path fidelity"), so a silent ~20x fidelity creep
 # now trips the gate instead of hiding under catastrophe-sized headroom.
 # c3's q99 carries the documented chaotic-silhouette + secondary-LoD
-# carve-out. ulp_q99 gates are None until first measured on the real TPU
-# (report-only columns meanwhile); pin them the same way once a row of
-# TPU history exists.
+# carve-out. ulp_q99 gates: pinned r4 at ~10x the first real-TPU ULP
+# capture (benchmarks/tpu_gate_20260818_080928: c1 q99 61, c2 93,
+# c4 16 ULPs — the legal-fusion class tools/op_parity.py pins to fma
+# contraction). c3 stays None (marched chaotic trajectories make ULP
+# distance meaningless there — q99 measured 6.4M); c5 likewise rides
+# its abs-rgb gate (marched class, ULP q99 measured 2.5e4 at
+# silhouettes while interior pixels are near-bitwise).
 THRESHOLDS = {
-    "c1_sphere.yaml": {"hit_agree": 0.9999, "q99": 2e-5, "ulp_q99": None},
-    "c2_csg.yaml": {"hit_agree": 0.9999, "q99": 5e-5, "ulp_q99": None},
+    "c1_sphere.yaml": {"hit_agree": 0.9999, "q99": 2e-5, "ulp_q99": 600},
+    "c2_csg.yaml": {"hit_agree": 0.9999, "q99": 5e-5, "ulp_q99": 1000},
     "c3_sdf.yaml": {"hit_agree": 0.9995, "q99": 0.12, "ulp_q99": None},
-    # the cheb-iteration candidate rides the same c3 carve-out (its f32
-    # reassociation decorrelates hits in the same eps-band class); NOT a
+    # the std (oracle-arithmetic) iteration variant rides the same c3
+    # carve-out — cheb is the default since its TPU fidelity row
+    # measured IDENTICAL (benchmarks/tpu_gate_20260818_080928); NOT a
     # SPEC config — gated so the variant can't regress unnoticed
-    "c3_sdf_cheb.yaml": {"hit_agree": 0.9995, "q99": 0.12,
-                         "ulp_q99": None},
-    "c4_mesh.yaml": {"hit_agree": 0.9999, "q99": 2e-5, "ulp_q99": None},
-    "c5_anim.yaml": {"hit_agree": 0.9999, "q99": 5e-5, "ulp_q99": None,
+    "c3_sdf_std.yaml": {"hit_agree": 0.9995, "q99": 0.12,
+                        "ulp_q99": None},
+    "c4_mesh.yaml": {"hit_agree": 0.9999, "q99": 2e-5, "ulp_q99": 200},
+    # c5 is a MARCHED smooth-union SDF (unlike analytic c1/c2 or exact-t
+    # c4): device-FP trajectories land at O(eps)-different hit t, so the
+    # rgb tail sits at silhouette/shadow-boundary pixels. MEASURED
+    # (tools/c5_attribution.py Part A, TPU 2026-08-18): q99 2.1-3.6e-4
+    # across the 3 gated orbit frames with 84-97% of delta energy in the
+    # 3x3-range edge band and interior q99 <= 1.1e-4 — so the blind
+    # first-capture threshold (5e-5, the analytic class) was wrong, not
+    # the renderer. Gate at ~3x measured. Grad: at the measured-default
+    # IFT clamp 1e-2 (engines/sdf.py), device-vs-CPU grad rel L2 is
+    # 4.3e-2 (residual = 9 hit-flip px, Part D); gate at ~2.3x.
+    "c5_anim.yaml": {"hit_agree": 0.9999, "q99": 1e-3, "ulp_q99": None,
                      # pose-fit loss/grad device-vs-CPU tolerances (rel)
-                     "fit_loss_rel": 2e-3, "fit_grad_rel": 2e-2},
+                     "fit_loss_rel": 2e-3, "fit_grad_rel": 0.1},
 }
 
 # c5 orbit frames checked on the device (of the config's 128)

@@ -35,11 +35,13 @@ sys.path.insert(0, _ROOT)
 STEPS = [
     ("perf", [sys.executable, "tools/perf_check.py"]),   # runs bench too
     ("fidelity", [sys.executable, "tools/fidelity_matrix.py", "--check"]),
-    # the cheb-iteration candidate (default-off): gate + measure so a
-    # flip-the-default decision is one look at the logs
-    ("bench_cheb", [sys.executable, "bench.py", "bulb_iter=cheb"]),
-    ("fidelity_cheb", [sys.executable, "tools/fidelity_matrix.py",
-                       "--check", "configs/c3_sdf_cheb.yaml"]),
+    # the std (oracle-arithmetic) iteration variant: gate + measure so a
+    # default-regression is one look at the logs (cheb became the
+    # default after the 2026-08-18 capture measured it +9%/+11% with an
+    # identical fidelity row)
+    ("bench_std", [sys.executable, "bench.py", "bulb_iter=std"]),
+    ("fidelity_std", [sys.executable, "tools/fidelity_matrix.py",
+                      "--check", "configs/c3_sdf_std.yaml"]),
     ("vpupeak", [sys.executable, "tools/vpu_peak.py"]),
     ("opparity", [sys.executable, "tools/op_parity.py", "--json"]),
     ("scaling", [sys.executable, "tools/compile_scaling.py",

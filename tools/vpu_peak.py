@@ -18,6 +18,15 @@ Comparing the render kernel's measured ps/iteration-lane against the
 no-divergence peak converts "structural, not a scheduling deficit" from
 an assumption into a number (MFU = peak_ps / achieved_ps).
 
+Timing is DIFFERENTIAL: each kernel is timed at K and 2K iterations and
+the per-iteration cost is (t_2K - t_K) / K. A single axon-relay dispatch
+carries a fixed ~10-20 ms round-trip (CLAUDE.md: per-dispatch timing is
+garbage), which the first capture of this tool did NOT cancel — it
+reported fma_dep at 0.088 Tflop/s and the synthetic bulb mix SLOWER
+(57 ps/iter-lane) than the real render kernel it was meant to ceiling
+(27 ps, measured inside large multi-frame dispatches). Differencing two
+dispatches with identical I/O cancels the fixed cost exactly.
+
 FLOPs per bulb substep (hand count of substep(), engines/sdf.py:242-280,
 transcendentals counted as 1): dz_new 5 + max + rsqrt = 7; squares 6;
 k3/k3s 2; k37 5; k2(rsqrt) 1; k1 11; k4 2; wx_new 12; wy_new 8;
@@ -41,6 +50,11 @@ _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, _ROOT)
 
 BULB_FLOPS_PER_ITER = 79  # see docstring hand count
+# cheb substep (engines/sdf._new_w_cheb) hand count: dz_new 7; squares
+# x2/y2/z2/y4 4; k3 1; k3s(max) 1; k37 5; k2(rsqrt) 1; t13 2; k1 3;
+# k4 2; complex squarings a1/b1/a2/b2/re8/im8 13; s8 4; wx/wz 4; wy 8;
+# selects 4; m recompute 5; active cmp 1  => 65 ops.
+CHEB_FLOPS_PER_ITER = 65
 
 
 def _bulb_mix_kernel(px_ref, py_ref, pz_ref, out_ref, *, iters: int):
@@ -98,6 +112,63 @@ def _bulb_mix_kernel(px_ref, py_ref, pz_ref, out_ref, *, iters: int):
     out_ref[...] = (wx + wy) + (wz + dz) + m
 
 
+def _cheb_mix_kernel(px_ref, py_ref, pz_ref, out_ref, *, iters: int):
+    """K no-divergence cheb substeps (sdf_mandelbulb_while_cheb
+    arithmetic — the r4 default bulb iteration)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    F32 = jnp.float32
+    px = px_ref[...]
+    py = py_ref[...]
+    pz = pz_ref[...]
+    bailout2 = F32(64.0)
+    tiny = F32(1e-4)
+
+    def substep(carry):
+        wx, wy, wz, dz, m = carry
+        active = m <= bailout2
+        m2 = m * m
+        m4 = m2 * m2
+        dz_new = F32(8.0) * ((m4 * lax.rsqrt(
+            jnp.maximum(m, F32(1e-30)))) * dz) + F32(1.0)
+        x, y, z = wx, wy, wz
+        x2 = x * x
+        y2 = y * y
+        z2 = z * z
+        y4 = y2 * y2
+        k3 = x2 + z2
+        k3s = jnp.maximum(k3, tiny)
+        k37 = ((k3s * k3s) * (k3s * k3s)) * ((k3s * k3s) * k3s)
+        k2 = lax.rsqrt(k37)
+        t13 = k3 - F32(3.0) * y2
+        k1 = t13 * t13 - F32(8.0) * y4
+        k4 = (x2 - y2) + z2
+        a1 = x2 - z2
+        b1 = F32(2.0) * (x * z)
+        a2 = a1 * a1 - b1 * b1
+        b2 = F32(2.0) * (a1 * b1)
+        re8 = a2 * a2 - b2 * b2
+        im8 = F32(2.0) * (a2 * b2)
+        s8 = ((F32(8.0) * y) * k4) * (k1 * k2)
+        wx_new = px + s8 * im8
+        wy_new = py + (F32(-16.0) * (y2 * k3) * (k4 * k4) + k1 * k1)
+        wz_new = pz - s8 * re8
+        wx = jnp.where(active, wx_new, wx)
+        wy = jnp.where(active, wy_new, wy)
+        wz = jnp.where(active, wz_new, wz)
+        dz = jnp.where(active, dz_new, dz)
+        m = jnp.where(active, (wx * wx + wy * wy) + wz * wz, m)
+        return wx, wy, wz, dz, m
+
+    m0 = (px * px + py * py) + pz * pz
+    carry = (px, py, pz, jnp.ones_like(m0), m0)
+    carry = lax.fori_loop(0, iters, lambda i, c: substep(c), carry)
+    wx, wy, wz, dz, m = carry
+    out_ref[...] = (wx + wy) + (wz + dz) + m
+
+
 def _fma_dep_kernel(a_ref, out_ref, *, iters: int):
     """Dependent a = a*b + c chain: latency-bound floor."""
     import jax.numpy as jnp
@@ -129,18 +200,30 @@ def _fma_par_kernel(a_ref, out_ref, *, iters: int):
     out_ref[...] = acc
 
 
-def _time_kernel(fn, args, repeats=5):
+def _time_differential(make_fn, args, iters, repeats=5):
+    """Per-extra-iteration time: (t(2K) - t(K)) / K dispatches with
+    identical I/O, cancelling the fixed relay/dispatch cost exactly.
+    K and 2K measurements are INTERLEAVED (K,2K,K,2K,...) so slow relay
+    drift lands on both alike — the first capture timed them in separate
+    blocks while another TPU job ran and got t(2K) < t(K).
+    Returns (dt_per_extra_K_seconds, t_single_dispatch_at_K)."""
     import jax
-    out = jax.jit(fn)(*args)
-    # scalar fetch syncs through the axon relay (block_until_ready lies)
-    float(np.asarray(out).ravel()[0])
-    ts = []
+    fns = [jax.jit(make_fn(iters)), jax.jit(make_fn(2 * iters))]
+    for f in fns:
+        # scalar fetch syncs through the axon relay (block_until_ready
+        # lies; CLAUDE.md axon methodology)
+        float(np.asarray(f(*args)).ravel()[0])
+    ts = [[], []]
     for _ in range(repeats):
-        t0 = time.perf_counter()
-        out = jax.jit(fn)(*args)
-        float(np.asarray(out).ravel()[0])
-        ts.append(time.perf_counter() - t0)
-    return float(np.min(ts))
+        for which in (0, 1):
+            t0 = time.perf_counter()
+            out = fns[which](*args)
+            float(np.asarray(out).ravel()[0])
+            ts[which].append(time.perf_counter() - t0)
+    t1, t2 = float(np.min(ts[0])), float(np.min(ts[1]))
+    # a non-positive difference means the measurement was polluted
+    # (e.g. a concurrent TPU job): report nan, never a fake Tflop/s
+    return (t2 - t1) if t2 > t1 else float("nan"), t1
 
 
 def run(iters: int, rows: int, grid: int, repeats: int = 5):
@@ -169,30 +252,23 @@ def run(iters: int, rows: int, grid: int, repeats: int = 5):
         )
 
     results = {}
-
-    dt = _time_kernel(
-        lambda a, b, c: jnp.sum(
-            make(functools.partial(_bulb_mix_kernel, iters=iters), 3)(
-                a, b, c)),
-        (px, py, pz), repeats)
     it_lanes = lanes * iters
-    results["bulb_mix"] = {
-        "ps_per_iter_lane": dt / it_lanes * 1e12,
-        "tflops": BULB_FLOPS_PER_ITER * it_lanes / dt / 1e12,
-        "seconds": dt,
-    }
 
-    for name, kern, flops_per_iter in (
-            ("fma_dep", _fma_dep_kernel, 2.0),
-            ("fma_par8", _fma_par_kernel, 16.0)):
-        dt = _time_kernel(
-            lambda a, kern=kern: jnp.sum(
-                make(functools.partial(kern, iters=iters), 1)(a)),
-            (px,), repeats)
+    for name, kern, n_in, flops_per_iter in (
+            ("bulb_mix", _bulb_mix_kernel, 3, float(BULB_FLOPS_PER_ITER)),
+            ("cheb_mix", _cheb_mix_kernel, 3, float(CHEB_FLOPS_PER_ITER)),
+            ("fma_dep", _fma_dep_kernel, 1, 2.0),
+            ("fma_par8", _fma_par_kernel, 1, 16.0)):
+        def make_fn(k, kern=kern, n_in=n_in):
+            call = make(functools.partial(kern, iters=k), n_in)
+            return lambda *a: jnp.sum(call(*a))
+        args = (px, py, pz)[:n_in]
+        dt, t_disp = _time_differential(make_fn, args, iters, repeats)
         results[name] = {
             "ps_per_iter_lane": dt / it_lanes * 1e12,
             "tflops": flops_per_iter * it_lanes / dt / 1e12,
-            "seconds": dt,
+            "seconds_extra_K": dt,
+            "seconds_dispatch_K": t_disp,
         }
     return results
 
@@ -210,7 +286,9 @@ def main():
     res = run(args.iters, args.rows, args.grid, args.repeats)
     for name, r in res.items():
         print(f"| {name:10s} | {r['ps_per_iter_lane']:8.2f} ps/iter-lane "
-              f"| {r['tflops']:7.3f} Tflop/s | {r['seconds'] * 1e3:8.2f} ms |")
+              f"| {r['tflops']:7.3f} Tflop/s "
+              f"| extra-K {r['seconds_extra_K'] * 1e3:8.2f} ms "
+              f"| dispatch {r['seconds_dispatch_K'] * 1e3:8.2f} ms |")
     print(json.dumps({k: {kk: round(vv, 6) for kk, vv in v.items()}
                       for k, v in res.items()}))
     return 0
