@@ -263,9 +263,13 @@ def main():
     honor_env_platforms()
 
     # argv: [config] [key=value ...] — key=value pairs are
-    # RenderSettings overrides for variant sweeps (disclosed in the JSON)
+    # RenderSettings overrides for variant sweeps (disclosed in the
+    # JSON), except the harness params `repeats` / `n_frames`, which
+    # shorten sweep runs (tools/unroll_sweep.py) without touching the
+    # measured workload's settings
     config = None
     overrides = {}
+    harness = {"repeats": 3, "n_frames": 48}
     for a in sys.argv[1:]:
         if "=" in a:
             k, v = a.split("=", 1)
@@ -276,10 +280,14 @@ def main():
                     v = float(v)
                 except ValueError:
                     v = {"true": True, "false": False}.get(v.lower(), v)
-            overrides[k] = v
+            if k in harness:
+                harness[k] = int(v)
+            else:
+                overrides[k] = v
         else:
             config = a
-    result = run_bench(config=config, overrides=overrides or None)
+    result = run_bench(config=config, overrides=overrides or None,
+                       **harness)
     print(json.dumps(result))
 
 

@@ -192,7 +192,15 @@ def sdf_mandelbulb(prm, p, power: int, iterations: int):
     return de * scale
 
 
-DE_UNROLL = 4  # bulb iterations per while trip; swept on TPU: 1->398.7/281.6, 2->459.8/338.1, 4->471.3/354.5, 8->436.4/334.9 Mrays/s (LoD/exact)
+# Bulb iterations per while trip; swept on TPU (std iteration, r3):
+# 1->398.7/281.6, 2->459.8/338.1, 4->471.3/354.5, 8->436.4/334.9 Mrays/s
+# (LoD/exact). Env override exists ONLY for tools/unroll_sweep.py
+# re-sweeps (the optimum can shift when per-iteration cost changes, as
+# the r4 cheb default did); the committed default must carry the
+# measured numbers.
+import os as _os_mod
+
+DE_UNROLL = int(_os_mod.environ.get("SURFJAX_DE_UNROLL", "4"))
 
 
 def _bulb_while_driver(prm, p, power: int, iterations: int, new_w_builder):

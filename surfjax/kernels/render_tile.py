@@ -390,8 +390,15 @@ _PROXY_SWITCH = 0.08  # hand off to the full SDF within this proxy distance
 # 8/4 -> 515.5/378.0, 16/16 -> 425.1/311.8. Unrolled substeps are
 # value-exact (done lanes masked; divisor logic keeps step budgets
 # exact); waste is at most unroll-1 park-point evals per tile march.
-MARCH_UNROLL = 8        # full-SDF march substeps per while trip
-SOFT_MARCH_UNROLL = 8   # penumbra-march substeps per while trip
+# Env overrides exist ONLY for tools/unroll_sweep.py re-sweeps (the
+# optimum can shift when per-iteration cost changes, e.g. the r4 cheb
+# default); committed defaults carry the measured numbers above.
+import os as _os_mod
+
+MARCH_UNROLL = int(_os_mod.environ.get(
+    "SURFJAX_MARCH_UNROLL", "8"))       # full-SDF march substeps per trip
+SOFT_MARCH_UNROLL = int(_os_mod.environ.get(
+    "SURFJAX_SOFT_MARCH_UNROLL", "8"))  # penumbra-march substeps per trip
 PRIME_UNROLL = 8        # cone-prime substeps per while trip (both phases)
 
 
