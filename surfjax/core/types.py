@@ -73,9 +73,18 @@ class RenderSettings:
     # Pallas tiling: rays per tile block = tile_rows * 128. Swept on the
     # TPU each time per-trip loop overhead changes: pre-unroll the
     # optimum was 64 (flat 64-128); with the r3 march/DE while-trip
-    # unrolls (8x lower trip overhead) finer tiles win back divergence:
-    # 16/32/48/64 -> 339/481/509/502 Mrays/s LoD, 267/367/381/372 exact.
-    tile_rows: int = 48
+    # unrolls (8x lower trip overhead) finer tiles won back divergence:
+    # 16/32/48/64 -> 339/481/509/502 Mrays/s LoD, 267/367/381/372 exact
+    # (std iteration). RE-SWEPT under the r4 cheb default (cheaper DE
+    # iterations shift the divergence/overhead balance back up): full
+    # bench harness 48/56/64 -> 573.1/575.2/585.1 LoD, 434.1/432.7/438.9
+    # exact — 64 wins (+2.1%/+1.1%), confirmed on the short harness
+    # (32/40/48/64 -> 518/552/559/572 LoD). Packet-mesh scenes with
+    # large candidate sets prefer finer tiles (more candidates +
+    # overflow full-scans per bigger tile): the 8192-tri c4 config
+    # measured 183.0 Mrays/s at 48 vs 165.1 at 64 (its yaml pins 48),
+    # while the 128-tri fixture improved 727.6 -> 748.4 at 64.
+    tile_rows: int = 64
     # per-(N,128) sub-block march loops (0=off). Do NOT enable on real
     # TPU: slicing sub-blocks inside the kernel crashes Mosaic's
     # ApplyVectorLayout (vector_extract_strided_slice limits check),

@@ -194,9 +194,12 @@ def sdf_mandelbulb(prm, p, power: int, iterations: int):
 
 # Bulb iterations per while trip; swept on TPU (std iteration, r3):
 # 1->398.7/281.6, 2->459.8/338.1, 4->471.3/354.5, 8->436.4/334.9 Mrays/s
-# (LoD/exact). Env override exists ONLY for tools/unroll_sweep.py
-# re-sweeps (the optimum can shift when per-iteration cost changes, as
-# the r4 cheb default did); the committed default must carry the
+# (LoD/exact). RE-SWEPT under the r4 cheb default (tools/unroll_sweep.py,
+# short harness repeats=2 n_frames=24 — reads ~3% under the full bench):
+# 2->522.4/386.1, 4->552.1/424.5, 8->520.5/408.0 — the optimum did NOT
+# shift. Env override exists ONLY for tools/unroll_sweep.py re-sweeps
+# (the optimum can shift when per-iteration cost changes, as the r4
+# cheb default could have); the committed default must carry the
 # measured numbers.
 import os as _os_mod
 

@@ -145,7 +145,14 @@ def mesh_candidates(ms: MeshStatic, tri_packed, o2, d2, t_min, t_max,
     verts = jnp.stack([v0, p1, p2], axis=0)                  # (3, F, 3)
     for k in range(3):
         a = axes[:, k, :]                                    # (tiles, 3)
-        tproj = jnp.einsum("tc,vfc->tvf", a, verts)          # (tiles,3,F)
+        # HIGHEST precision is load-bearing: the default MXU matmul
+        # multiplies in bf16 (~4e-3 rel error on O(1-10) coords), which
+        # can shrink a triangle's projected range past the 1e-4 eps and
+        # cull a truly-hit triangle (observed: 118 px dropped a near hit
+        # on c4 at tile_rows=64, depth 2.16 -> 3.91). The segment side
+        # (sa/sb) is elementwise f32, so both sides must round alike.
+        tproj = jnp.einsum("tc,vfc->tvf", a, verts,
+                           precision=jax.lax.Precision.HIGHEST)
         tpro_lo = tproj.min(axis=1)
         tpro_hi = tproj.max(axis=1)
         sa = sum(pa[ax].reshape(tiles, -1) * a[:, ax:ax + 1]

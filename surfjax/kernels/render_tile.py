@@ -393,6 +393,10 @@ _PROXY_SWITCH = 0.08  # hand off to the full SDF within this proxy distance
 # Env overrides exist ONLY for tools/unroll_sweep.py re-sweeps (the
 # optimum can shift when per-iteration cost changes, e.g. the r4 cheb
 # default); committed defaults carry the measured numbers above.
+# RE-SWEPT under cheb (r4, short harness repeats=2 n_frames=24):
+# march 4/8/16 -> 559.3/558.8/549.6 LoD, 424.3/426.2/421.6 exact;
+# soft 4/8/16 -> 549.7/559.4/554.7 LoD, 421.3/426.2/424.0 exact —
+# both optima unchanged (4 vs 8 within run noise on march).
 import os as _os_mod
 
 MARCH_UNROLL = int(_os_mod.environ.get(

@@ -51,6 +51,13 @@ def test_threshold_shapes_and_headroom():
     assert c5["fit_loss_rel"] <= 2e-3
     assert c5["fit_grad_rel"] <= 0.1
     assert len(C5_FRAMES) >= 3
+    # gross-pixel gates (r4, after the mesh bf16-cull find): the
+    # quantile gates are blind to a handful of grossly-wrong pixels, so
+    # the analytic/mesh classes carry a near-zero-tolerance gate
+    assert THRESHOLDS["c1_sphere.yaml"]["gross"] <= 2e-6
+    assert THRESHOLDS["c2_csg.yaml"]["gross"] <= 2e-6
+    assert THRESHOLDS["c4_mesh.yaml"]["gross"] <= 5e-7
+    assert c5["gross"] <= 1e-4
 
 
 def test_std_variant_stays_gated():

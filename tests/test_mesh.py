@@ -268,3 +268,75 @@ def test_native_obj_loader_matches_python():
         assert native[1].shape == (4, 3)  # quad -> 2 tris + 2 single tris
     finally:
         os.unlink(path)
+
+
+def test_mesh_candidates_conservative():
+    """Per-tile candidate culling must be CONSERVATIVE: every triangle a
+    lane's Moller-Trumbore test hits within its [t_min, t_max] segment
+    must appear in that lane's tile candidate set (or the tile must
+    overflow K so the kernel routes to the full-table scan). Checked at
+    two tile shapes — r4 found a non-conservative cull on the device
+    (the k-DOP einsum ran on the MXU in bf16, shrinking projection
+    ranges past the eps guard; 118 c4 pixels dropped a true near hit at
+    tile_rows=64), so the projection now pins HIGHEST precision and
+    this property is CI-gated."""
+    import jax.numpy as jnp
+    from surfjax.kernels.mesh_tile import mesh_candidates
+
+    v, f = octasphere(3)
+    v = v * 0.9
+    v[:, 2] += 3.2
+    mesh = TriangleMesh(vertices=v, faces=f)
+    tables = build_grid(mesh)
+    tri_packed = np.asarray(tables.arrays["tri_packed"], np.float32)
+    Fn = tri_packed.shape[0]
+
+    rows, lanes = 64, 128
+    n = rows * lanes
+    rng = np.random.default_rng(7)
+    ang = rng.uniform(-0.4, 0.4, (2, n)).astype(np.float32)
+    dx, dy = np.sin(ang[0]), np.sin(ang[1])
+    dz = np.sqrt(1.0 - dx * dx - dy * dy).astype(np.float32)
+    o_np = [np.zeros(n, np.float32) for _ in range(3)]
+    d_np = [dx, dy, dz]
+    t_min, t_max = np.float32(1e-3), np.float32(1e4)
+
+    # brute-force per-lane hits (same accept test as the kernel body)
+    v0 = tri_packed[:, 0:3]
+    e1 = tri_packed[:, 3:6]
+    e2 = tri_packed[:, 6:9]
+    d_all = np.stack(d_np, -1)[:, None, :]        # (n,1,3)
+    o_all = np.stack(o_np, -1)[:, None, :]
+    pv = np.cross(d_all, e2[None])
+    det = (e1[None] * pv).sum(-1)
+    ok = np.abs(det) > 1e-7
+    inv = 1.0 / np.where(ok, det, 1.0)
+    tv = o_all - v0[None]
+    u = (tv * pv).sum(-1) * inv
+    qv = np.cross(tv, e1[None])
+    vv = (d_all * qv).sum(-1) * inv
+    t = (e2[None] * qv).sum(-1) * inv
+    hits = (ok & (u >= 0) & (vv >= 0) & (u + vv <= 1.0)
+            & (t > t_min) & (t < t_max))          # (n, Fn)
+
+    for R in (16, 64):
+        o2 = tuple(jnp.asarray(c.reshape(rows, lanes)) for c in o_np)
+        d2 = tuple(jnp.asarray(c.reshape(rows, lanes)) for c in d_np)
+        cand, counts = mesh_candidates(
+            tables.static, jnp.asarray(tri_packed), o2, d2,
+            float(t_min), float(t_max), R)
+        cand = np.asarray(cand)
+        counts = np.asarray(counts)
+        K = cand.shape[1]
+        tiles = rows // R
+        tile_hits = hits.reshape(tiles, R * lanes, Fn).any(axis=1)
+        for ti in range(tiles):
+            if counts[ti] > K:
+                continue  # kernel takes the exact full-table scan
+            got = cand[ti, :counts[ti]]
+            for fi in np.nonzero(tile_hits[ti])[0]:
+                row = tri_packed[fi]
+                present = np.any(np.all(got == row[None], axis=1))
+                assert present, (
+                    f"tile {ti} (R={R}): hit triangle {fi} culled from "
+                    f"the candidate set ({counts[ti]}/{K})")
