@@ -49,10 +49,15 @@ def rodrigues(w):
 
 
 def _matmul9(a, b):
-    """(9,) row-major 3x3 product a @ b."""
+    """(9,) row-major 3x3 product a @ b.
+
+    HIGHEST precision: the TPU's default matmul multiplies in bf16
+    (~4e-3 rel — the same class as the r4 mesh-cull find), which would
+    perturb every camera ray of a fitted pose; a 3x3 product is free
+    at full precision."""
     a = a.reshape(3, 3)
     b = b.reshape(3, 3)
-    return (a @ b).reshape(9)
+    return jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST).reshape(9)
 
 
 def _frame_rgb(static, intr, settings, params, R_flat, cam_pos):
