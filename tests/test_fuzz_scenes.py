@@ -163,3 +163,71 @@ def test_fuzz_jit_jnp_within_fusion_envelope(idx):
                - gold["rgb"].astype(np.float64))
     assert np.quantile(d, 0.99) < 1e-3, f"scene {idx}: q99 {d.max():.2e}"
     assert d.mean() < 1e-4
+
+
+# ---------------------------------------------------------------------------
+# Crowd-path fuzz: random crowds must be BITWISE equal (geometry) to the
+# unrolled path — the test_crowd contract, across a randomized scene
+# space (member mix, engines, split-path extras, lights, settings).
+
+
+def _rand_crowd_scene(rng):
+    from surfjax import subtract as _sub
+
+    mats = [Material.lambert(albedo=(0.7, 0.4, 0.3)),
+            Material.blinn_phong(albedo=(0.3, 0.6, 0.8), shininess=16),
+            Material.blinn_phong(albedo=(0.8, 0.8, 0.3), shininess=32)]
+    scene = Scene()
+    n_members = int(rng.integers(4, 10))
+    for k in range(n_members):
+        c = (float(rng.uniform(-1.5, 1.5)), float(rng.uniform(-0.6, 1.0)),
+             float(rng.uniform(2.2, 4.2)))
+        if rng.random() < 0.6:
+            obj = Sphere(center=c, radius=float(rng.uniform(0.15, 0.35)))
+        else:
+            obj = Box(center=c, half_extents=tuple(
+                float(x) for x in rng.uniform(0.1, 0.3, 3)))
+        # members come from BOTH engines (analytic single-leaf
+        # spheres/boxes are crowd-eligible since r4)
+        engine = "sdf" if rng.random() < 0.5 else None
+        scene.add(obj, mats[k % 3],
+                  **({"engine": engine} if engine else {}))
+    if rng.random() < 0.5:
+        # a non-member (CSG) forces the split crowd+unrolled path
+        scene.add(_sub(Box(center=(0.0, 1.4, 3.6),
+                           half_extents=(0.4, 0.3, 0.3)),
+                       Sphere(center=(0.0, 1.4, 3.2), radius=0.35)),
+                  mats[0])
+    if rng.random() < 0.7:
+        scene.add(Plane(normal=(0.0, 1.0, 0.0), offset=-1.0),
+                  Material.lambert(albedo=(0.5, 0.5, 0.5)))
+    scene.add_light(PointLight(
+        position=(float(rng.uniform(-3, 3)), float(rng.uniform(3, 5)),
+                  float(rng.uniform(-2, 1)))))
+    shadows = bool(rng.random() < 0.8)
+    s = RenderSettings(
+        backend="pallas", tile_rows=8, max_steps=96,
+        shadows=shadows,
+        soft_shadows=bool(shadows and rng.random() < 0.5),
+        ao=bool(rng.random() < 0.5), ao_samples=3)
+    cam = Camera.pinhole(96, 64, fov_y_deg=50.0,
+                         position=(0.0, 0.6, -0.5), target=(0.0, 0.0, 3.0))
+    return scene, cam, s
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_fuzz_crowd_bitwise_vs_unrolled(seed):
+    from surfjax import render as _render
+    from surfjax.io.image import ulp_diff_f32
+
+    rng = np.random.default_rng(1000 + seed)
+    scene, cam, s = _rand_crowd_scene(rng)
+    fa = _render(scene, cam, s)
+    fb = _render(scene, cam, s.with_(vector_objects=True))
+    for name in ("depth", "normal", "hit", "obj_id"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(fa, name)), np.asarray(getattr(fb, name)),
+            err_msg=f"seed {seed}: {name}")
+    u = ulp_diff_f32(np.asarray(fa.rgb), np.asarray(fb.rgb))
+    assert u.max() <= 2, f"seed {seed}: rgb ulp max {u.max()}"
+    assert (u > 0).mean() < 0.05, f"seed {seed}: drift {(u > 0).mean()}"
