@@ -11,6 +11,14 @@ Public API (SURVEY.md §1 L6 / §2 component 20):
     render, render_sequence, RenderSettings
 """
 
+from surfjax.utils.compile_cache import enable_persistent_cache as \
+    _enable_persistent_cache
+
+# Repo-local persistent XLA compile cache — measured 387.6 s -> 13.0 s
+# process-cold c1 render through the axon relay (utils/compile_cache.py).
+# SURFJAX_COMPILE_CACHE=off disables.
+_enable_persistent_cache()
+
 from surfjax.api import (
     Scene,
     Camera,

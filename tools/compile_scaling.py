@@ -28,6 +28,11 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# This tool MEASURES compile wall time: the repo-local persistent compile
+# cache (surfjax/utils/compile_cache.py) would replay cached executables
+# and falsify the compile column — opt out before surfjax is imported.
+os.environ.setdefault("SURFJAX_COMPILE_CACHE", "off")
+
 
 def scene_n(n_spheres: int):
     from surfjax.api import Camera, Material, Plane, PointLight, Scene, \
