@@ -18,6 +18,22 @@ Comparing the render kernel's measured ps/iteration-lane against the
 no-divergence peak converts "structural, not a scheduling deficit" from
 an assumption into a number (MFU = peak_ps / achieved_ps).
 
+r5 (verdict Weak #1 / Next #1b): the synthetic kernels take --unroll N
+and run N substeps per fori trip — the render kernel amortizes loop
+control over DE_UNROLL=4 substeps per while trip (engines/sdf.py
+_bulb_while_driver), so an unroll-1 synthetic includes per-iteration
+loop overhead the render path does not pay and is NOT a ceiling
+(that mismatch is how r4 read "MFU >= 1.0", a methodology error).
+The default sweep runs unroll 1/4/8; compare the render kernel against
+the unroll-4 row. The r4 "fma_par8" kernel is DELETED: its carry was a
+tuple of 8 (rows,128) f32 arrays (1 MB at rows=256) that spilled, and
+it measured 16.15 ps/iter (0.99 Tflop/s) — SLOWER per flop than the
+dependent chain (1.74 ps, 1.15 Tflop/s), i.e. not a throughput ceiling
+(committed log benchmarks/vpu_peak_20260819_0100_solo.log). A
+dependent elementwise chain over a (256,128) block already pipelines
+32 independent (8,128)-vreg chains, so the UNROLLED dependent chain is
+the honest FMA throughput baseline.
+
 Timing is DIFFERENTIAL: each kernel is timed at K and 2K iterations and
 the per-iteration cost is (t_2K - t_K) / K. A single axon-relay dispatch
 carries a fixed ~10-20 ms round-trip (CLAUDE.md: per-dispatch timing is
@@ -57,7 +73,8 @@ BULB_FLOPS_PER_ITER = 79  # see docstring hand count
 CHEB_FLOPS_PER_ITER = 65
 
 
-def _bulb_mix_kernel(px_ref, py_ref, pz_ref, out_ref, *, iters: int):
+def _bulb_mix_kernel(px_ref, py_ref, pz_ref, out_ref, *, iters: int,
+                     unroll: int = 1):
     """K no-divergence bulb substeps (sdf_mandelbulb_while arithmetic)."""
     import jax
     import jax.numpy as jnp
@@ -107,12 +124,27 @@ def _bulb_mix_kernel(px_ref, py_ref, pz_ref, out_ref, *, iters: int):
 
     m0 = (px * px + py * py) + pz * pz
     carry = (px, py, pz, jnp.ones_like(m0), m0)
-    carry = lax.fori_loop(0, iters, lambda i, c: substep(c), carry)
+    carry = _unrolled_fori(lax, substep, carry, iters, unroll)
     wx, wy, wz, dz, m = carry
     out_ref[...] = (wx + wy) + (wz + dz) + m
 
 
-def _cheb_mix_kernel(px_ref, py_ref, pz_ref, out_ref, *, iters: int):
+def _unrolled_fori(lax, substep, carry, iters: int, unroll: int):
+    """iters total substeps as iters//unroll fori trips of `unroll`
+    substeps each — the render kernel's DE_UNROLL loop structure, so the
+    synthetic's per-iteration loop-control overhead matches the render
+    path's instead of overstating the per-iteration cost (r5)."""
+    assert iters % unroll == 0, (iters, unroll)
+
+    def body(i, c):
+        for _ in range(unroll):
+            c = substep(c)
+        return c
+    return lax.fori_loop(0, iters // unroll, body, carry)
+
+
+def _cheb_mix_kernel(px_ref, py_ref, pz_ref, out_ref, *, iters: int,
+                     unroll: int = 1):
     """K no-divergence cheb substeps (sdf_mandelbulb_while_cheb
     arithmetic — the r4 default bulb iteration)."""
     import jax
@@ -164,40 +196,26 @@ def _cheb_mix_kernel(px_ref, py_ref, pz_ref, out_ref, *, iters: int):
 
     m0 = (px * px + py * py) + pz * pz
     carry = (px, py, pz, jnp.ones_like(m0), m0)
-    carry = lax.fori_loop(0, iters, lambda i, c: substep(c), carry)
+    carry = _unrolled_fori(lax, substep, carry, iters, unroll)
     wx, wy, wz, dz, m = carry
     out_ref[...] = (wx + wy) + (wz + dz) + m
 
 
-def _fma_dep_kernel(a_ref, out_ref, *, iters: int):
-    """Dependent a = a*b + c chain: latency-bound floor."""
+def _fma_dep_kernel(a_ref, out_ref, *, iters: int, unroll: int = 1):
+    """Dependent a = a*b + c chain. Over a (rows,128) block this is
+    rows/8 independent (8,128)-vreg chains, so the VPU pipelines it —
+    at unroll >= 4 (loop control amortized) this IS the FMA throughput
+    baseline. The r4 "fma_par8" 8-carry variant is deleted (module
+    docstring: its 1 MB carry tuple spilled and it measured slower per
+    flop than this chain)."""
     import jax.numpy as jnp
     from jax import lax
     a = a_ref[...]
     b = a * jnp.float32(0.999)
     c = a * jnp.float32(1e-6)
 
-    def body(i, x):
-        return x * b + c
-    out_ref[...] = lax.fori_loop(0, iters, body, a)
-
-
-def _fma_par_kernel(a_ref, out_ref, *, iters: int):
-    """8 independent FMA chains: throughput-bound ceiling."""
-    import jax.numpy as jnp
-    from jax import lax
-    a = a_ref[...]
-    b = a * jnp.float32(0.999)
-    c = a * jnp.float32(1e-6)
-    xs = tuple(a + jnp.float32(k) for k in range(8))
-
-    def body(i, xs):
-        return tuple(x * b + c for x in xs)
-    xs = lax.fori_loop(0, iters, body, xs)
-    acc = xs[0]
-    for x in xs[1:]:
-        acc = acc + x
-    out_ref[...] = acc
+    carry = _unrolled_fori(lax, lambda x: x * b + c, a, iters, unroll)
+    out_ref[...] = carry
 
 
 def _time_differential(make_fn, args, iters, repeats=5):
@@ -226,7 +244,8 @@ def _time_differential(make_fn, args, iters, repeats=5):
     return (t2 - t1) if t2 > t1 else float("nan"), t1
 
 
-def run(iters: int, rows: int, grid: int, repeats: int = 5):
+def run(iters: int, rows: int, grid: int, repeats: int = 5,
+        unrolls: tuple = (1, 4, 8)):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -252,24 +271,35 @@ def run(iters: int, rows: int, grid: int, repeats: int = 5):
         )
 
     results = {}
-    it_lanes = lanes * iters
 
-    for name, kern, n_in, flops_per_iter in (
-            ("bulb_mix", _bulb_mix_kernel, 3, float(BULB_FLOPS_PER_ITER)),
-            ("cheb_mix", _cheb_mix_kernel, 3, float(CHEB_FLOPS_PER_ITER)),
-            ("fma_dep", _fma_dep_kernel, 1, 2.0),
-            ("fma_par8", _fma_par_kernel, 1, 16.0)):
-        def make_fn(k, kern=kern, n_in=n_in):
-            call = make(functools.partial(kern, iters=k), n_in)
-            return lambda *a: jnp.sum(call(*a))
-        args = (px, py, pz)[:n_in]
-        dt, t_disp = _time_differential(make_fn, args, iters, repeats)
-        results[name] = {
-            "ps_per_iter_lane": dt / it_lanes * 1e12,
-            "tflops": flops_per_iter * it_lanes / dt / 1e12,
-            "seconds_extra_K": dt,
-            "seconds_dispatch_K": t_disp,
-        }
+    # The FMA chain is ~40x cheaper per iteration than the bulb mixes;
+    # at the shared default K its differential (~1-2 ms measured r4)
+    # sits inside the axon relay's per-dispatch jitter (~±1 ms on a
+    # ~26 ms dispatch) and min-of-N differencing returns noise (a 3-
+    # repeat run measured "9.5 Tflop/s", above the 4-ALU VPU's ~7.7
+    # f32-FMA bound — impossible). Scale its K so extra-K >> jitter.
+    for name, kern, n_in, flops_per_iter, k_scale in (
+            ("bulb_mix", _bulb_mix_kernel, 3, float(BULB_FLOPS_PER_ITER), 1),
+            ("cheb_mix", _cheb_mix_kernel, 3, float(CHEB_FLOPS_PER_ITER), 1),
+            ("fma_dep", _fma_dep_kernel, 1, 2.0, 32)):
+        k_iters = iters * k_scale
+        it_lanes = lanes * k_iters
+        for unroll in unrolls:
+            if k_iters % unroll:
+                continue
+
+            def make_fn(k, kern=kern, n_in=n_in, unroll=unroll):
+                call = make(functools.partial(kern, iters=k,
+                                              unroll=unroll), n_in)
+                return lambda *a: jnp.sum(call(*a))
+            args = (px, py, pz)[:n_in]
+            dt, t_disp = _time_differential(make_fn, args, k_iters, repeats)
+            results[f"{name}@u{unroll}"] = {
+                "ps_per_iter_lane": dt / it_lanes * 1e12,
+                "tflops": flops_per_iter * it_lanes / dt / 1e12,
+                "seconds_extra_K": dt,
+                "seconds_dispatch_K": t_disp,
+            }
     return results
 
 
@@ -279,13 +309,18 @@ def main():
     ap.add_argument("--rows", type=int, default=256)
     ap.add_argument("--grid", type=int, default=64)
     ap.add_argument("--repeats", type=int, default=5)
+    ap.add_argument("--unroll", type=str, default="1,4,8",
+                    help="comma list of substeps per loop trip; compare "
+                         "the render kernel against the row matching "
+                         "DE_UNROLL (4)")
     args = ap.parse_args()
+    unrolls = tuple(int(u) for u in args.unroll.split(","))
 
     import jax
     print(f"backend: {jax.default_backend()}")
-    res = run(args.iters, args.rows, args.grid, args.repeats)
+    res = run(args.iters, args.rows, args.grid, args.repeats, unrolls)
     for name, r in res.items():
-        print(f"| {name:10s} | {r['ps_per_iter_lane']:8.2f} ps/iter-lane "
+        print(f"| {name:12s} | {r['ps_per_iter_lane']:8.2f} ps/iter-lane "
               f"| {r['tflops']:7.3f} Tflop/s "
               f"| extra-K {r['seconds_extra_K'] * 1e3:8.2f} ms "
               f"| dispatch {r['seconds_dispatch_K'] * 1e3:8.2f} ms |")
