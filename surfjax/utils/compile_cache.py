@@ -49,6 +49,13 @@ def enable_persistent_cache() -> bool:
     try:
         import jax
 
+        # an explicit JAX-level setting wins: don't clobber a cache dir
+        # the user already configured via JAX_COMPILATION_CACHE_DIR or
+        # jax.config before `import surfjax` (advisor r4)
+        existing = jax.config.jax_compilation_cache_dir
+        if existing:
+            _ENABLED = True
+            return True
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         # cache anything that took >=0.5 s to compile (the default 1.0 s
@@ -56,6 +63,13 @@ def enable_persistent_cache() -> bool:
         # bloats the dir with trivial entries)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
         _ENABLED = True
-    except Exception:  # pragma: no cover - config API drift / RO repo
+    except Exception as e:  # pragma: no cover - config API drift / RO repo
+        # a silently-dead cache would bring back the 387.6 s relay
+        # cold-compile (and its 10-min-watchdog failure mode) with zero
+        # diagnostic — say so once on stderr (advisor r4)
+        import sys
+        print(f"surfjax: persistent compile cache DISABLED "
+              f"({type(e).__name__}: {e}) — cold compiles will be slow",
+              file=sys.stderr)
         _ENABLED = False
     return _ENABLED

@@ -55,7 +55,37 @@ def test_cache_env_custom_dir(tmp_path):
     assert res["dir"] == custom
 
 
-def test_compile_scaling_tool_opts_out():
-    # the tool measures compile wall time; a cache replay would falsify it
-    src = open(os.path.join(REPO, "tools", "compile_scaling.py")).read()
-    assert 'os.environ.setdefault("SURFJAX_COMPILE_CACHE", "off")' in src
+def test_cache_explicit_jax_setting_wins(tmp_path):
+    # an explicit JAX-level cache dir (JAX_COMPILATION_CACHE_DIR) must not
+    # be clobbered by the surfjax default (advisor r4)
+    custom = str(tmp_path / "jaxlevel")
+    res = _run({"SURFJAX_COMPILE_CACHE": "",
+                "JAX_COMPILATION_CACHE_DIR": custom})
+    assert res["dir"] == custom
+
+
+def test_compile_scaling_tool_opts_out(tmp_path):
+    # the tool measures compile wall time; a cache replay would falsify
+    # it — even when the user exported a cache dir, the tool must force
+    # the knob off (advisor r4: setdefault silently kept it on).
+    # Behavioral check: exec the tool module (not under __main__) with an
+    # inherited cache dir and observe the knob it leaves behind.
+    import json
+    code = (
+        "import os, json, importlib.util\n"
+        f"spec = importlib.util.spec_from_file_location('cs', "
+        f"{os.path.join(REPO, 'tools', 'compile_scaling.py')!r})\n"
+        "m = importlib.util.module_from_spec(spec)\n"
+        "spec.loader.exec_module(m)\n"
+        "print(json.dumps({'knob': os.environ['SURFJAX_COMPILE_CACHE']}))\n"
+    )
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = ""
+    env["SURFJAX_COMPILE_CACHE"] = str(tmp_path / "exported")
+    out = subprocess.run([sys.executable, "-c", code], cwd=REPO, env=env,
+                         capture_output=True, text=True, timeout=120)
+    assert out.returncode == 0, out.stderr
+    res = json.loads(out.stdout.strip().splitlines()[-1])
+    assert res["knob"] == "off"
+    assert "overriding SURFJAX_COMPILE_CACHE" in out.stderr

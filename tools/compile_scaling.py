@@ -30,8 +30,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # This tool MEASURES compile wall time: the repo-local persistent compile
 # cache (surfjax/utils/compile_cache.py) would replay cached executables
-# and falsify the compile column — opt out before surfjax is imported.
-os.environ.setdefault("SURFJAX_COMPILE_CACHE", "off")
+# and falsify the compile column — force it OFF unconditionally (advisor
+# r4: setdefault let an exported SURFJAX_COMPILE_CACHE=<dir> keep the
+# cache on and falsify the column this tool exists to measure).
+if os.environ.get("SURFJAX_COMPILE_CACHE", "off").lower() not in (
+        "0", "off", "none", "disable", "disabled"):
+    print("compile_scaling: overriding SURFJAX_COMPILE_CACHE="
+          f"{os.environ['SURFJAX_COMPILE_CACHE']!r} -> 'off' (this tool "
+          "measures compile time)", file=sys.stderr)
+os.environ["SURFJAX_COMPILE_CACHE"] = "off"
 
 
 def scene_n(n_spheres: int):
