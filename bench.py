@@ -11,18 +11,20 @@ Prints ONE JSON line:
 THE metric workload (pinned — see BASELINE.md "Metric workload"):
 configs/c3_sdf.yaml reframed to 1920x1080 at the config camera (same fov).
 
-Two fidelity modes are measured and reported every run:
+TWO fidelity modes are measured and reported every run (r5 — the r4
+"value_exact keeps relax 1.6" caveat is retired because relax measured
+TIME-NEUTRAL at full DE; benchmarks/relax_sweep_r5.log):
   value        — the config's settings as-is (secondary-ray fractal LoD
                  default-on: shadow marches truncate the Mandelbulb DE at
                  secondary_lod_iters, AO probes at ao_lod_iters; measured
                  error bounds in core/types.py — conservative darkening,
                  q99 visibility diff 3.9e-3).
-  value_exact  — both LoDs forced to 0: every secondary march evaluates
-                 the full DE. NOTE this mode keeps the config's
-                 over_relax (1.6), i.e. it is "full-DE, relaxed
-                 trajectory", not oracle-trajectory (r3 verdict Weak #2).
-  value_oracle_traj — LoDs 0 AND over_relax=1.0: the exact settings the
-                 golden parity tests compare against the oracles.
+  value_exact  — both LoDs 0 AND over_relax=1.0: full-DE secondary rays
+                 on the ORACLE trajectory — exactly the settings the
+                 golden parity tests compare against the oracles. (The
+                 former separate value_oracle_traj mode is this mode;
+                 the former "full-DE, relaxed trajectory" mode bought
+                 no time and is gone.)
 The mode parameters (secondary_lod_iters / ao_lod_iters / over_relax) are
 disclosed in the JSON so the headline number is never ambiguous about
 what it measured. mrays_primary_shadow excludes AO probes (the cheapest
@@ -145,19 +147,14 @@ def run_bench(config: str | None = None, repeats: int = 3,
 
     dt, n_hits = _time_mode(static, intr, settings, params, R_flat,
                             positions, repeats)
-    exact = settings.with_(secondary_lod_iters=0, ao_lod_iters=0)
+    # value_exact = full DE AND over_relax=1.0: the oracle-trajectory
+    # settings the golden parity tests run at. Relax measured
+    # time-neutral at full DE (module docstring), so the honest mode
+    # costs nothing over the r4 "full-DE, relaxed" one it replaces.
+    exact = settings.with_(secondary_lod_iters=0, ao_lod_iters=0,
+                           over_relax=1.0)
     dt_exact, _ = _time_mode(static, intr, exact, params, R_flat,
                              positions, repeats)
-    # value_exact means "full-DE, relaxed trajectory": it zeroes both LoDs
-    # but keeps the config's over_relax (1.6), whose eps-band hit
-    # decorrelation contributes ~2.7e-2 of c3's q99 vs the oracles (see
-    # docs/COMPONENTS.md "c3 fidelity decomposition"). The third mode
-    # below ALSO sets over_relax=1.0 — the oracle-trajectory settings the
-    # golden parity tests run at — so no mode name overclaims (r3 verdict
-    # Weak #2).
-    oracle_traj = exact.with_(over_relax=1.0)
-    dt_oracle, _ = _time_mode(static, intr, oracle_traj, params, R_flat,
-                              positions, repeats)
 
     primary = float(width * height)
     shadow = n_hits * len(scene.lights) if settings.shadows else 0.0
@@ -166,7 +163,6 @@ def run_bench(config: str | None = None, repeats: int = 3,
 
     mrays = rpf / dt / 1e6
     mrays_exact = rpf / dt_exact / 1e6
-    mrays_oracle = rpf / dt_oracle / 1e6
     n_dev = jax.local_device_count()
     return {
         "metric": ("Mrays/sec/chip at 1080p (256-step trace); "
@@ -174,16 +170,11 @@ def run_bench(config: str | None = None, repeats: int = 3,
         "value": round(mrays, 3),
         "unit": "Mrays/s/chip",
         "vs_baseline": round(mrays / TARGET_MRAYS, 4),
-        # exact fidelity mode: secondary_lod_iters=0, ao_lod_iters=0
-        # (full-DE secondary rays — the settings whose output is the
-        # golden-tolerance-true one; see module docstring)
+        # exact fidelity mode: LoDs 0 AND over_relax=1.0 — full-DE
+        # secondary rays on the oracle trajectory, the settings the
+        # golden parity tests run at (see module docstring)
         "value_exact": round(mrays_exact, 3),
         "vs_baseline_exact": round(mrays_exact / TARGET_MRAYS, 4),
-        # oracle-trajectory mode: LoDs 0 AND over_relax=1.0 (the exact
-        # settings the golden parity tests run at; value_exact keeps the
-        # config's relax=1.6 and is "full-DE, relaxed trajectory")
-        "value_oracle_traj": round(mrays_oracle, 3),
-        "vs_baseline_oracle_traj": round(mrays_oracle / TARGET_MRAYS, 4),
         # composition check: the metric without AO probes (one 4-tap
         # probe per direction is far cheaper than a 256-step trace)
         "mrays_primary_shadow": round((primary + shadow) / dt / 1e6, 3),
@@ -201,7 +192,6 @@ def run_bench(config: str | None = None, repeats: int = 3,
         "ao_rays": int(ao),
         "frame_time_s": round(dt, 5),
         "frame_time_exact_s": round(dt_exact, 5),
-        "frame_time_oracle_traj_s": round(dt_oracle, 5),
         "frames_per_dispatch": n_frames,
         "backend": jax.default_backend(),
         "devices": n_dev,

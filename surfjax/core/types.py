@@ -20,7 +20,17 @@ class RenderSettings:
     t_min: float = 1e-3
     t_max: float = 1e4
     hit_eps: float = 1e-3         # SDF hit threshold
-    over_relax: float = 1.6       # kernel-path over-relaxed march (1.0=off)
+    # Kernel-path over-relaxed march step factor (1.0 = off). Swept on
+    # the FULL bench harness under the cheb default (r5,
+    # benchmarks/relax_sweep_r5.log): LoD-mode 1.0/1.2/1.4/1.6 ->
+    # 567.0/578.9/597.3/584.9 Mrays/s — 1.4 beats the old 1.6 default
+    # by +2.1% AND perturbs trajectories strictly less (relax
+    # contributes ~2.7e-2 of c3's q99 at 1.6 — docs/COMPONENTS.md
+    # decomposition). At full DE (both LoDs 0) relax is TIME-NEUTRAL
+    # (438.8/434.3/445.1/438.3 — within run jitter of the relax-1.0
+    # 438.8-439.1 band), so the exact bench mode forces 1.0 and pays
+    # nothing (r4 verdict Next #2).
+    over_relax: float = 1.4
     hit_eps_scale: float = 0.0    # cone eps: eps_eff = hit_eps + t*scale
     normal_eps: float = 5e-4      # FD-normal tetrahedron offset
     normals: str = "auto"         # "auto" (analytic where possible) | "fd"
@@ -113,6 +123,19 @@ class RenderSettings:
     # oracle-arithmetic runs and is fidelity/perf-gated as the variant
     # (configs/c3_sdf_std.yaml row in tools/fidelity_matrix.py).
     bulb_iter: str = "cheb"
+    # Mandelbulb DE epilogue log on the kernel path AND in both golden
+    # oracles: "hw" (jnp.log / np.log / std::log — fastest; on Mosaic
+    # jnp.log measured up to 4023 ULP off host libm, tools/op_parity.py,
+    # perturbing every DE value ~5e-4 rel and feeding the eps-band hit
+    # decorrelation behind the c3/c5 marched carve-out) | "portable"
+    # (core.math.portable_log — a two-round mul/add polynomial that is
+    # BITWISE-identical across Mosaic/XLA-CPU/NumPy/C++ by construction,
+    # so the kernel and the oracles compute the same log; ~1.9e-6 max
+    # abs err). The flag governs the kernel path and BOTH goldens; the
+    # jnp pipeline and the differentiable (IFT) path keep hw log, so
+    # "portable" is opt-in. Measured effect on the real-TPU c3 fidelity
+    # row: see docs/COMPONENTS.md "Portable-log experiment (r5)".
+    bulb_log: str = "hw"
     # Vectorized object loop for LARGE scenes (r3 verdict Weak #4): with
     # the flag on, single-leaf positively-signed sphere/box objects of
     # the SDF AND analytic engines (the "crowd") are traced/shaded by

@@ -9,8 +9,8 @@ r3 postmortem, VERDICT.md Missing #1).
 
 Gated workloads (r4, verdict Weak #6 — one row per workload class so a
 mesh-path or CSG-path regression trips a gate, not just the c3 headline):
-  headline    bench.py metric workload — `value`, `value_exact`, and
-              `value_oracle_traj` gate independently
+  headline    bench.py metric workload — `value` and `value_exact`
+              gate independently
   c2          CSG 512^2 (config2 fixture)         — mrays_per_s
   c4_fixture  128-tri mesh 1080p fixture          — mrays_per_s
   c4_config   8192-tri mesh 1080p (c4_mesh.yaml)  — mrays_per_s
@@ -34,7 +34,10 @@ _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, _ROOT)  # bench.py lives at the repo root
 HIST = os.path.join(_ROOT, "benchmarks", "history.jsonl")
 
-HEADLINE_KEYS = ("value", "value_exact", "value_oracle_traj")
+# value_oracle_traj was retired in r5: value_exact now IS the
+# oracle-trajectory mode (LoDs 0 + over_relax=1.0, bench.py docstring);
+# old history rows keep their extra field harmlessly
+HEADLINE_KEYS = ("value", "value_exact")
 AUX_WORKLOADS = ("c2", "c4_fixture", "c4_config")
 
 

@@ -59,8 +59,7 @@ def main() -> int:
             if row is None:
                 continue
             print(f"  {axis}={v:3d}  LoD {row['value']:6.1f}  "
-                  f"exact {row['value_exact']:6.1f}  "
-                  f"oracle {row['value_oracle_traj']:6.1f} Mrays/s",
+                  f"exact {row['value_exact']:6.1f} Mrays/s",
                   flush=True)
     return 0
 
