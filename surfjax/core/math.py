@@ -21,6 +21,7 @@ both the parity-friendly representation and the layout the Pallas kernels use
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -179,3 +180,62 @@ def quadratic_smallest_root(b_half, c):
     t0 = jnp.where(has, t0, BIG)
     t1 = jnp.where(has, t1, -BIG)
     return t0, t1, has
+
+
+# ---------------------------------------------------------------------------
+# Bitwise-portable f32 log (r4 verdict Next #6).
+#
+# tools/op_parity.py pins jnp.log as the largest single-op cross-backend
+# deviation on Mosaic (up to 4023 ULP vs host libm), which perturbs every
+# Mandelbulb DE value ~5e-4 rel in the epilogue and feeds the eps-band
+# hit decorrelation behind the c3/c5 marched carve-out. This
+# implementation uses ONLY ops that round identically everywhere
+# (int bit ops, f32 mul/add/compare/select — each written as a separate
+# two-round op; Mosaic is two-round per op_parity, the NumPy and
+# strict-FP C++ (-ffp-contract=off) goldens likewise), so the kernel and
+# both oracles compute bit-identical logs by construction.
+#
+# Algorithm: x = f * 2^e with f in [sqrt(1/2), sqrt(2)); log(x) =
+# e*ln2 + log1p(u), u = f-1; log1p(u) = u + u^2 * g(u) with g a
+# degree-8 Chebyshev fit on the reduction interval (fit error 3.5e-9 in
+# f64; full f32 two-round max abs error 1.9e-6 over [1e-30, 300] —
+# ~1 ULP at the result's magnitude). ln2 is split hi/lo with e*LN2_HI
+# exact (14-bit hi mantissa x |e| <= 2^7). Domain: NORMAL positive
+# finite x (callers guard with max(x, 1e-30); 1e-30 > 2^-126).
+# Association is FIXED — the NumPy mirror (golden/renderer.py) and the
+# C++ mirror (golden/cpp/golden.cpp) replicate it op for op; pinned
+# bitwise-identical in tests/test_portable_log.py.
+# ---------------------------------------------------------------------------
+
+# g(u) coefficients, ascending powers (f32-exact values; hex in the test)
+_PLOG_C = (
+    F32(-0.4999999701976776), F32(0.33333322405815125),
+    F32(-0.2500077188014984), F32(0.2000196874141693),
+    F32(-0.1662759929895401), F32(0.1418900042772293),
+    F32(-0.131016343832016), F32(0.12821748852729797),
+    F32(-0.07866667956113815),
+)
+_PLOG_LN2_HI = F32(0.6931457519531250)       # 0x3f317200
+_PLOG_LN2_LO = F32(1.4286067653301955e-06)   # f32(ln2 - LN2_HI)
+_PLOG_SQRTH = F32(0.7071067811865476)
+
+
+def portable_log(x):
+    """Bitwise-portable natural log of a normal positive f32 array (see
+    block comment above). NOT a general log: no subnormal/0/inf/nan
+    handling — callers guard the domain."""
+    bits = jax.lax.bitcast_convert_type(x, jnp.int32)
+    e = ((bits >> 23) & jnp.int32(0xFF)) - jnp.int32(126)
+    f = jax.lax.bitcast_convert_type(
+        (bits & jnp.int32(0x007FFFFF)) | jnp.int32(0x3F000000), jnp.float32)
+    small = f < _PLOG_SQRTH
+    f = jnp.where(small, f + f, f)
+    e = jnp.where(small, e - jnp.int32(1), e)
+    ef = e.astype(jnp.float32)
+    u = f - F32(1.0)
+    g = jnp.full_like(u, _PLOG_C[8])
+    for c in _PLOG_C[7::-1]:
+        g = g * u + c
+    u2 = u * u
+    l1p = u + u2 * g
+    return ef * _PLOG_LN2_HI + (l1p + ef * _PLOG_LN2_LO)

@@ -63,7 +63,14 @@ def _matmul9(a, b):
 def _frame_rgb(static, intr, settings, params, R_flat, cam_pos):
     from surfjax.core.camera import flat_camera_rays
     o, d, _ = flat_camera_rays(intr, R_flat, cam_pos)
-    fb = render_rays(static, settings, params, o, d)
+    if settings.backend == "pallas":
+        # Pallas fit forward (r4 verdict Next #3): every march runs in
+        # the kernels; gradients re-enter via the frame-level IFT
+        # custom_vjp + differentiable shading at the hit points
+        from surfjax.diff.hybrid import render_rays_hybrid
+        fb = render_rays_hybrid(static, settings, params, o, d)
+    else:
+        fb = render_rays(static, settings, params, o, d)
     return fb.rgb.reshape(intr.height, intr.width, 3)
 
 
@@ -125,15 +132,20 @@ def fit_pose(scene, camera, target_rgb, steps: int = 100, lr: float = 2e-2,
 
 def pose_loss_and_grad(scene, camera, settings: RenderSettings,
                        w=(0.02, -0.01, 0.015), dt=(0.01, -0.02, 0.005),
-                       target_value: float = 0.5):
+                       target_value: float = 0.5, pixel_weight=None):
     """One pose-fit loss+gradient evaluation at a FIXED probe point.
 
     Used by the device fidelity gate (tools/fidelity_matrix.py --check,
     c5 row): the same deterministic computation runs on the TPU pallas
-    path and on a forced-CPU jnp reference, and the results must agree
-    to tolerance. The target is a constant image (no cross-backend
-    render dependence) and the probe (w, dt) is fixed and nonzero so the
+    path (the hybrid fit forward when settings.backend == 'pallas') and
+    on a forced-CPU jnp reference, and the results must agree to
+    tolerance. The target is a constant image (no cross-backend render
+    dependence) and the probe (w, dt) is fixed and nonzero so the
     gradient is generic. Returns (loss, grad dict {'w','dt'}) as numpy.
+
+    pixel_weight: optional (H, W) float weights for the mse (the gate's
+    interior-gradient row excludes cross-backend hit-flip pixels this
+    way — r4 verdict Weak #3). None = plain mean (the fit's own loss).
     """
     static, params = scene.freeze()
     params = {k: jnp.asarray(v) for k, v in params.items()}
@@ -141,16 +153,46 @@ def pose_loss_and_grad(scene, camera, settings: RenderSettings,
     R0 = jnp.asarray(np.asarray(camera.rotation, np.float32).reshape(9))
     t0 = jnp.asarray(np.asarray(camera.position, np.float32))
     target = jnp.full((intr.height, intr.width, 3), np.float32(target_value))
+    if pixel_weight is not None:
+        pw = jnp.asarray(pixel_weight, jnp.float32)
+        denom = F32(3.0) * jnp.maximum(jnp.sum(pw), F32(1.0))
 
     def loss_fn(x):
         R = _matmul9(rodrigues(x["w"]), R0)
         rgb = _frame_rgb(static, intr, settings, params, R, t0 + x["dt"])
         diff = rgb - target
-        return jnp.mean(diff * diff)
+        if pixel_weight is None:
+            return jnp.mean(diff * diff)
+        return jnp.sum((diff * diff) * pw[..., None]) / denom
 
     x = {"w": jnp.asarray(w, jnp.float32), "dt": jnp.asarray(dt, jnp.float32)}
     loss, g = jax.jit(jax.value_and_grad(loss_fn))(x)
     return float(loss), {k: np.asarray(v) for k, v in g.items()}
+
+
+def pose_probe_hit(scene, camera, settings: RenderSettings,
+                   w=(0.02, -0.01, 0.015), dt=(0.01, -0.02, 0.005)):
+    """(H, W) bool hit mask at the pose-fit probe pose — the fidelity
+    gate's hit-flip-pixel accounting renders this on both backends and
+    budgets the disagreement count explicitly (r4 verdict Weak #3)."""
+    from surfjax.core.camera import flat_camera_rays
+    from surfjax.pipeline.frame import render_rays
+
+    static, params = scene.freeze()
+    params = {k: jnp.asarray(v) for k, v in params.items()}
+    intr = camera.intrinsics
+    R0 = jnp.asarray(np.asarray(camera.rotation, np.float32).reshape(9))
+    t0 = jnp.asarray(np.asarray(camera.position, np.float32))
+    R = _matmul9(rodrigues(jnp.asarray(w, jnp.float32)), R0)
+    o, d, _ = flat_camera_rays(intr, R, t0 + jnp.asarray(dt, jnp.float32))
+    if settings.backend == "pallas":
+        from surfjax.diff.hybrid import render_rays_hybrid
+        fb = jax.jit(lambda p, o, d: render_rays_hybrid(
+            static, settings, p, o, d))(params, o, d)
+    else:
+        fb = jax.jit(lambda p, o, d: render_rays(
+            static, settings, p, o, d))(params, o, d)
+    return np.asarray(fb.hit).reshape(intr.height, intr.width) > 0.5
 
 
 def fit_sdf(scene, camera, target_rgb, steps: int = 200, lr: float = 1e-2,

@@ -206,7 +206,8 @@ import os as _os_mod
 DE_UNROLL = int(_os_mod.environ.get("SURFJAX_DE_UNROLL", "4"))
 
 
-def _bulb_while_driver(prm, p, power: int, iterations: int, new_w_builder):
+def _bulb_while_driver(prm, p, power: int, iterations: int, new_w_builder,
+                       log_fn=None):
     """Shared while-loop scaffold for the kernel-path Mandelbulb DEs.
 
     The std and cheb variants differ ONLY in the triplex z -> z^8 + c
@@ -215,6 +216,10 @@ def _bulb_while_driver(prm, p, power: int, iterations: int, new_w_builder):
     dz recurrence and its rsqrt(0) guard, the DE_UNROLL divisor rule,
     the log/far-field epilogue — lives here once so the variants cannot
     silently diverge (review r4).
+
+    log_fn overrides the epilogue's log (None = jnp.log; the
+    bitwise-portable core.math.portable_log under
+    RenderSettings(bulb_log='portable') — r4 verdict Next #6).
 
     Exits as soon as every lane has escaped. Mosaic-safe: f32 escape
     mask, scalar trip count. Per-trip cost trims (bitwise value-exact):
@@ -278,8 +283,10 @@ def _bulb_while_driver(prm, p, power: int, iterations: int, new_w_builder):
     _, _, _, _, dz, m = jax.lax.while_loop(
         cond, body, (0, px, py, pz, jnp.ones_like(m0), m0))
     r = jnp.sqrt(m)
-    # same m == 0 log guard as sdf_mandelbulb (de exactly 0 on the set)
-    de = F32(0.25) * jnp.log(jnp.maximum(m, F32(1e-30))) * r / dz
+    # same m == 0 log guard as sdf_mandelbulb (de exactly 0 on the set;
+    # it also pins the portable log's normal-positive domain)
+    log_fn = log_fn or jnp.log
+    de = F32(0.25) * log_fn(jnp.maximum(m, F32(1e-30))) * r / dz
     # far-field guard -- see sdf_mandelbulb
     r0 = jnp.sqrt(m0)
     far = r0 - F32(1.35)
@@ -389,19 +396,34 @@ def leaf_sdf(kind: int, prm, p, p0: int = 0, p1: int = 0):
     raise ValueError(f"sdf engine: unsupported leaf kind {kind}")
 
 
-def leaf_sdf_fast(kind: int, prm, p, p0: int = 0, p1: int = 0):
-    """Kernel-path leaf SDF: while-loop Mandelbulb with batch early exit."""
-    if kind == LEAF_MANDELBULB:
-        return sdf_mandelbulb_while(prm, p, p0, p1)
-    return leaf_sdf(kind, prm, p, p0, p1)
+def make_bulb_while(bulb_iter: str = "std", bulb_log: str = "hw"):
+    """Kernel-path bulb DE factory: iteration form (std | cheb,
+    RenderSettings.bulb_iter) x epilogue log (hw | portable,
+    RenderSettings.bulb_log)."""
+    from surfjax.core.math import portable_log
+    new_w = _new_w_cheb if bulb_iter == "cheb" else _new_w_std
+    log_fn = portable_log if bulb_log == "portable" else None
+
+    def bulb(prm, p, power, iterations):
+        return _bulb_while_driver(prm, p, power, iterations, new_w,
+                                  log_fn=log_fn)
+    return bulb
 
 
-def leaf_sdf_fast_cheb(kind: int, prm, p, p0: int = 0, p1: int = 0):
-    """leaf_sdf_fast with the restructured bulb iteration
-    (sdf_mandelbulb_while_cheb) — RenderSettings(bulb_iter='cheb')."""
-    if kind == LEAF_MANDELBULB:
-        return sdf_mandelbulb_while_cheb(prm, p, p0, p1)
-    return leaf_sdf(kind, prm, p, p0, p1)
+def make_leaf_fast(bulb_iter: str = "std", bulb_log: str = "hw"):
+    """Kernel-path leaf evaluator for the given bulb variant flags."""
+    bulb = make_bulb_while(bulb_iter, bulb_log)
+
+    def leaf_fn(kind, prm, p, p0=0, p1=0):
+        if kind == LEAF_MANDELBULB:
+            return bulb(prm, p, p0, p1)
+        return leaf_sdf(kind, prm, p, p0, p1)
+    return leaf_fn
+
+
+# compat aliases (tests + older tools import these names)
+leaf_sdf_fast = make_leaf_fast("std", "hw")
+leaf_sdf_fast_cheb = make_leaf_fast("cheb", "hw")
 
 
 # ---------------------------------------------------------------------------

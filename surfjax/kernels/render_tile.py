@@ -109,10 +109,10 @@ def _scene_sdf(sdf_objs, lp, nparams, p, leaf_fn=None):
 
 def _fast_leaf_fn(settings):
     """The kernel-path leaf evaluator for these settings: std or cheb
-    bulb iteration (RenderSettings.bulb_iter)."""
-    from surfjax.engines.sdf import leaf_sdf_fast, leaf_sdf_fast_cheb
-    return (leaf_sdf_fast_cheb if settings.bulb_iter == "cheb"
-            else leaf_sdf_fast)
+    bulb iteration (RenderSettings.bulb_iter) x hw or bitwise-portable
+    epilogue log (RenderSettings.bulb_log)."""
+    from surfjax.engines.sdf import make_leaf_fast
+    return make_leaf_fast(settings.bulb_iter, settings.bulb_log)
 
 
 def _capped_leaf_fn(cap: int, settings=None):
@@ -120,16 +120,15 @@ def _capped_leaf_fn(cap: int, settings=None):
     The truncated prisoner set is a superset of the full one, so the
     capped DE lower-bounds distance to a surface enclosing the true one."""
     from surfjax.core.scene_compile import LEAF_MANDELBULB
-    from surfjax.engines.sdf import (
-        leaf_sdf_fast, sdf_mandelbulb_while, sdf_mandelbulb_while_cheb,
-    )
-    cheb = settings is not None and settings.bulb_iter == "cheb"
-    bulb = sdf_mandelbulb_while_cheb if cheb else sdf_mandelbulb_while
+    from surfjax.engines.sdf import leaf_sdf, make_bulb_while
+    bulb = make_bulb_while(
+        settings.bulb_iter if settings is not None else "std",
+        settings.bulb_log if settings is not None else "hw")
 
     def leaf_fn(kind, prm, p, p0=0, p1=0):
         if kind == LEAF_MANDELBULB:
             return bulb(prm, p, p0, min(p1, cap))
-        return leaf_sdf_fast(kind, prm, p, p0, p1)
+        return leaf_sdf(kind, prm, p, p0, p1)
 
     return leaf_fn
 
@@ -2356,14 +2355,14 @@ def render_rays_pallas(static, settings: RenderSettings, params, o, d
                         obj_id=unpad(fb.obj_id))
 
 
-def _render_padded(static, settings: RenderSettings, params, o2, d2,
-                   t0=None) -> FrameBuffers:
-    """Core pallas frame on (rows_total, 128)-tiled rays; flat outputs.
-
-    t0: optional per-lane primed SDF-march start."""
-    from surfjax.core.scene_compile import (
-        LIGHT_DIRECTIONAL, LIGHT_POINT,
-    )
+def _pallas_primary(static, settings: RenderSettings, params, o2, d2,
+                    t0=None):
+    """Primary stage of the pallas frame on (rows_total, 128)-tiled rays:
+    K1 (+capped-march residual) -> mesh packet-kernel merge -> AO fix at
+    mesh receivers. -> (t, obj, n, n_geom, ao, hit_f); t is the raw march
+    t (callers mask by hit_f). Shared by _render_padded and the
+    differentiable hybrid forward (surfjax/diff/hybrid.py), so the fit
+    path's hit-finding is the identical compiled program."""
     ir = static.ir
     _, _, mesh = _split(static)
 
@@ -2464,6 +2463,80 @@ def _render_padded(static, settings: RenderSettings, params, o2, d2,
     if mesh and settings.ao and (len(ir.objects) > len(mesh)):
         ao = ao_fix_kernel(static, settings, lp, nparams, p_off, n,
                            mesh_won, ao)
+    return t, obj, n, n_geom, ao, hit_f
+
+
+def _pallas_vis(static, settings: RenderSettings, params, p_off, l,
+                dist_eff, soft_k):
+    """One light's shadow visibility on (rows, 128)-tiled receivers:
+    K2 (+capped residual) -> mesh any-hit occlusion. Shared by
+    _render_padded and the hybrid fit forward."""
+    lp = params["leaf_params"]
+    nparams = params["node_params"]
+    _, _, mesh = _split(static)
+    scap = settings.shadow_march_cap
+    vis, sh_unres = trace_rays_kernel(static, settings, scap, lp,
+                                      nparams, p_off, l, dist_eff,
+                                      soft_k)
+    if scap:
+        def k2_full(sub):
+            v, _ = trace_rays_kernel(
+                static, settings, 0, lp, nparams,
+                (sub[0], sub[1], sub[2]),
+                (sub[3], sub[4], sub[5]), sub[6], sub[7])
+            return [v]
+
+        vis, = _block_residual(
+            sh_unres,
+            [p_off[0], p_off[1], p_off[2], l[0], l[1], l[2],
+             dist_eff, soft_k], [vis], k2_full,
+            settings.tile_rows)
+    if mesh:
+        from surfjax.kernels.mesh_tile import MAX_PACKET_TRIS, \
+            mesh_tile_kernel
+        for _, oir in mesh:
+            ms = static.mesh_static[oir.mesh]
+            if ms.n_tris > MAX_PACKET_TRIS:
+                # same VMEM guard as the primary-ray merge above
+                from surfjax.engines.mesh import intersect_mesh
+                shp = p_off[0].shape
+                t_f, _ = intersect_mesh(
+                    ms, oir.mesh, params,
+                    tuple(c.reshape(-1) for c in p_off),
+                    tuple(c.reshape(-1) for c in l),
+                    settings.shadow_eps, dist_eff.reshape(-1))
+                t_m = t_f.reshape(shp)
+            else:
+                tri_packed = jnp.asarray(
+                    _mesh_params(params, oir.mesh)["tri_packed"])
+                t_m, _, _ = mesh_tile_kernel(
+                    ms, settings, tri_packed, p_off, l, dist_eff,
+                    any_hit=True)
+            vis = vis * jnp.where(t_m < dist_eff,
+                                  F32(0.0), F32(1.0))
+    return vis
+
+
+def _render_padded(static, settings: RenderSettings, params, o2, d2,
+                   t0=None) -> FrameBuffers:
+    """Core pallas frame on (rows_total, 128)-tiled rays; flat outputs.
+
+    t0: optional per-lane primed SDF-march start."""
+    from surfjax.core.scene_compile import (
+        LIGHT_DIRECTIONAL, LIGHT_POINT,
+    )
+    ir = static.ir
+    lp = params["leaf_params"]
+    nparams = params["node_params"]
+    ox, oy, oz = o2
+    dx, dy, dz = d2
+    t, obj, n, n_geom, ao, hit_f = _pallas_primary(
+        static, settings, params, o2, d2, t0=t0)
+    t_sane = jnp.where(hit_f > F32(0.5), t, F32(0.0))
+    p = (ox + t_sane * dx, oy + t_sane * dy, oz + t_sane * dz)
+    eps = F32(settings.shadow_eps)
+    p_off = (p[0] + n_geom[0] * eps, p[1] + n_geom[1] * eps,
+             p[2] + n_geom[2] * eps)
 
     light_terms = []
     for li, kind in enumerate(ir.lights):
@@ -2490,46 +2563,8 @@ def _render_padded(static, settings: RenderSettings, params, o2, d2,
             # miss lanes need no shadow ray: zero their march budget so
             # sky tiles exit K2 instantly
             dist_eff = jnp.where(hit_f > F32(0.5), dist, F32(0.0))
-            scap = settings.shadow_march_cap
-            vis, sh_unres = trace_rays_kernel(static, settings, scap, lp,
-                                              nparams, p_off, l, dist_eff,
-                                              soft_k)
-            if scap:
-                def k2_full(sub):
-                    v, _ = trace_rays_kernel(
-                        static, settings, 0, lp, nparams,
-                        (sub[0], sub[1], sub[2]),
-                        (sub[3], sub[4], sub[5]), sub[6], sub[7])
-                    return [v]
-
-                vis, = _block_residual(
-                    sh_unres,
-                    [p_off[0], p_off[1], p_off[2], l[0], l[1], l[2],
-                     dist_eff, soft_k], [vis], k2_full,
-                    settings.tile_rows)
-            if mesh:
-                from surfjax.kernels.mesh_tile import MAX_PACKET_TRIS, \
-                    mesh_tile_kernel
-                for _, oir in mesh:
-                    ms = static.mesh_static[oir.mesh]
-                    if ms.n_tris > MAX_PACKET_TRIS:
-                        # same VMEM guard as the primary-ray merge above
-                        from surfjax.engines.mesh import intersect_mesh
-                        shp = p_off[0].shape
-                        t_f, _ = intersect_mesh(
-                            ms, oir.mesh, params,
-                            tuple(c.reshape(-1) for c in p_off),
-                            tuple(c.reshape(-1) for c in l),
-                            settings.shadow_eps, dist_eff.reshape(-1))
-                        t_m = t_f.reshape(shp)
-                    else:
-                        tri_packed = jnp.asarray(
-                            _mesh_params(params, oir.mesh)["tri_packed"])
-                        t_m, _, _ = mesh_tile_kernel(
-                            ms, settings, tri_packed, p_off, l, dist_eff,
-                            any_hit=True)
-                    vis = vis * jnp.where(t_m < dist_eff,
-                                          F32(0.0), F32(1.0))
+            vis = _pallas_vis(static, settings, params, p_off, l,
+                              dist_eff, soft_k)
         else:
             vis = jnp.ones_like(p_off[0])
         light_terms.append((l, lcol, vis))

@@ -48,8 +48,14 @@ def test_threshold_shapes_and_headroom():
     # tools/c5_attribution.py)
     c5 = THRESHOLDS["c5_anim.yaml"]
     assert c5["q99"] <= 1e-3
-    assert c5["fit_loss_rel"] <= 2e-3
-    assert c5["fit_grad_rel"] <= 0.1
+    # r5 fit gates (hybrid pallas forward; measured loss rel 1.03e-5,
+    # grad rel 2.08e-2, cos 0.99986, 0 hit flips — the r4 0.1 blanket
+    # grad-rel gate is GONE, verdict Weak #3)
+    assert c5["fit_loss_rel"] <= 3e-4
+    assert c5["fit_grad_cos"] >= 0.995
+    assert c5["fit_grad_interior_rel"] <= 6e-2
+    assert c5["fit_hit_flip_px"] <= 40
+    assert "fit_grad_rel" not in c5  # the blanket gate must not return
     assert len(C5_FRAMES) >= 3
     # gross-pixel gates (r4, after the mesh bf16-cull find): the
     # quantile gates are blind to a handful of grossly-wrong pixels, so

@@ -92,8 +92,20 @@ THRESHOLDS = {
     # 4.3e-2 (residual = 9 hit-flip px, Part D); gate at ~2.3x.
     "c5_anim.yaml": {"hit_agree": 0.9999, "q99": 1e-3, "ulp_q99": None,
                      "gross": 1e-4,
-                     # pose-fit loss/grad device-vs-CPU tolerances (rel)
-                     "fit_loss_rel": 2e-3, "fit_grad_rel": 0.1},
+                     # pose-fit gates (r5 — replaces the r4 0.1 blanket grad-rel gate,
+    # verdict Weak #3). Device side = PALLAS HYBRID forward on TPU
+    # (surfjax/diff/hybrid.py). MEASURED on the real TPU 2026-08-19
+    # against the forced-CPU jnp reference: loss rel 1.03e-5, grad rel
+    # 2.08e-2, cos 0.99986, hit-flip px 0/65536 — the hybrid BEATS the
+    # r4 jnp-on-TPU numbers (4.3e-2 grad rel, 9 flips) because its
+    # forward is the deterministic kernel trace, not a second
+    # backend-fused jnp program. Gates at ~3x measured: a 10%
+    # systematic grad error or a direction error trips; the flip budget
+    # guards the carve-out class explicitly.
+                     "fit_loss_rel": 3e-4,
+                     "fit_grad_cos": 0.995,
+                     "fit_grad_interior_rel": 6e-2,
+                     "fit_hit_flip_px": 40},
 }
 
 # c5 orbit frames checked on the device (of the config's 128)
@@ -182,9 +194,20 @@ def _c5_frame_cameras(path):
     return scene, cams, settings
 
 
-def _fit_reference_subprocess(path):
+def _fit_reference_subprocess(path, hit_dev: np.ndarray):
     """Forced-CPU jnp reference of the pose-fit probe, via subprocess
-    (the TPU host's default platform is pinned by sitecustomize)."""
+    (the TPU host's default platform is pinned by sitecustomize).
+
+    Takes the DEVICE hit mask at the probe pose; the child renders its
+    own, builds the agreement mask (the gate's shared interior weights),
+    and returns full + interior loss/grad, the flip count, and the mask
+    (via a tmp npz) so the parent computes the device interior grad
+    against the IDENTICAL weights."""
+    import tempfile
+    tmp = tempfile.mkdtemp(prefix="surfjax_fit_gate_")
+    hit_path = os.path.join(tmp, "hit_dev.npz")
+    mask_path = os.path.join(tmp, "mask.npz")
+    np.savez(hit_path, hit=hit_dev)
     code = (
         "import json, sys\n"
         "import numpy as np\n"
@@ -192,11 +215,21 @@ def _fit_reference_subprocess(path):
         "jax.config.update('jax_platforms', 'cpu')\n"
         f"sys.path.insert(0, {_ROOT!r})\n"
         "from surfjax.config import load_config\n"
-        "from surfjax.diff.fit import pose_loss_and_grad\n"
+        "from surfjax.diff.fit import pose_loss_and_grad, pose_probe_hit\n"
         f"scene, cam, settings, _ = load_config({path!r})\n"
+        f"hit_dev = np.load({hit_path!r})['hit']\n"
+        "hit_ref = pose_probe_hit(scene, cam, settings)\n"
+        "mask = (hit_dev == hit_ref).astype(np.float32)\n"
+        f"np.savez({mask_path!r}, mask=mask)\n"
         "loss, g = pose_loss_and_grad(scene, cam, settings)\n"
+        "li, gi = pose_loss_and_grad(scene, cam, settings, "
+        "pixel_weight=mask)\n"
         "print(json.dumps({'loss': loss, 'gw': g['w'].tolist(),\n"
-        "                  'gdt': g['dt'].tolist()}))\n"
+        "                  'gdt': g['dt'].tolist(),\n"
+        "                  'loss_int': li, 'gw_int': gi['w'].tolist(),\n"
+        "                  'gdt_int': gi['dt'].tolist(),\n"
+        "                  'flips': int((hit_dev != hit_ref).sum()),\n"
+        "                  'px': int(hit_ref.size)}))\n"
     )
     env = dict(os.environ)
     env.pop("PYTHONPATH", None)  # skip the axon sitecustomize
@@ -206,36 +239,74 @@ def _fit_reference_subprocess(path):
     if proc.returncode != 0:
         raise RuntimeError(f"fit reference subprocess failed:\n"
                            f"{proc.stderr[-2000:]}")
-    return json.loads(proc.stdout.strip().splitlines()[-1])
+    ref = json.loads(proc.stdout.strip().splitlines()[-1])
+    ref["mask"] = np.load(mask_path)["mask"]
+    return ref
+
+
+def _rel(a: np.ndarray, b: np.ndarray) -> float:
+    return float(np.linalg.norm(a - b) / max(np.linalg.norm(b), 1e-12))
 
 
 def fit_check(path, th):
-    """One pose-fit loss+grad on the device vs the forced-CPU reference.
+    """Pose-fit loss+grad on the device vs the forced-CPU jnp reference.
+
+    On TPU the device side runs the PALLAS hybrid fit forward
+    (surfjax/diff/hybrid.py) — the path fit_pose/fit_sdf actually use
+    there. Four gates (r4 verdict Weak #3 — the 0.1 blanket grad gate
+    is gone): loss rel; full-grad cosine; INTERIOR grad rel (both sides
+    re-evaluated with cross-backend hit-agreement pixel weights, so the
+    documented hit-flip carve-out can't hide a systematic grad error);
+    and the hit-flip pixel count as its own explicit budget.
     -> True/False; prints a row either way."""
+    import jax
     from surfjax.config import load_config
-    from surfjax.diff.fit import pose_loss_and_grad
+    from surfjax.diff.fit import pose_loss_and_grad, pose_probe_hit
 
     scene, cam, settings, _ = load_config(path)
+    if jax.default_backend() == "tpu":
+        settings = settings.with_(backend="pallas")
+    hit_dev = pose_probe_hit(scene, cam, settings)
+    ref = _fit_reference_subprocess(path, hit_dev)
     loss_d, g_d = pose_loss_and_grad(scene, cam, settings)
-    ref = _fit_reference_subprocess(path)
-    g_ref = np.concatenate([np.asarray(ref["gw"], np.float64),
-                            np.asarray(ref["gdt"], np.float64)])
-    g_dev = np.concatenate([g_d["w"].astype(np.float64),
-                            g_d["dt"].astype(np.float64)])
+    loss_i, g_i = pose_loss_and_grad(scene, cam, settings,
+                                     pixel_weight=ref["mask"])
+
+    cat = lambda g: np.concatenate([np.asarray(g[0], np.float64),
+                                    np.asarray(g[1], np.float64)])
+    g_ref = cat((ref["gw"], ref["gdt"]))
+    g_dev = cat((g_d["w"], g_d["dt"]))
+    g_ref_i = cat((ref["gw_int"], ref["gdt_int"]))
+    g_dev_i = cat((g_i["w"], g_i["dt"]))
+
     loss_rel = abs(loss_d - ref["loss"]) / max(abs(ref["loss"]), 1e-12)
-    grad_rel = (np.linalg.norm(g_dev - g_ref)
-                / max(np.linalg.norm(g_ref), 1e-12))
+    grad_rel = _rel(g_dev, g_ref)
+    grad_cos = float(g_dev @ g_ref / max(
+        np.linalg.norm(g_dev) * np.linalg.norm(g_ref), 1e-30))
+    grad_rel_int = _rel(g_dev_i, g_ref_i)
+    flips = ref["flips"]
     print(f"| c5 fit-step           | loss {loss_d:.6g} "
           f"(ref {ref['loss']:.6g}, rel {loss_rel:.2e}) "
-          f"| grad rel {grad_rel:.2e} |")
+          f"| grad rel {grad_rel:.2e} cos {grad_cos:.5f} "
+          f"| interior grad rel {grad_rel_int:.2e} "
+          f"| hit-flip px {flips}/{ref['px']} |")
     ok = True
     if loss_rel > th["fit_loss_rel"]:
         print(f"  FIDELITY REGRESSION c5 fit: loss rel {loss_rel:.2e} > "
               f"{th['fit_loss_rel']}", file=sys.stderr)
         ok = False
-    if grad_rel > th["fit_grad_rel"]:
-        print(f"  FIDELITY REGRESSION c5 fit: grad rel {grad_rel:.2e} > "
-              f"{th['fit_grad_rel']}", file=sys.stderr)
+    if grad_cos < th["fit_grad_cos"]:
+        print(f"  FIDELITY REGRESSION c5 fit: grad cosine {grad_cos:.5f} "
+              f"< {th['fit_grad_cos']}", file=sys.stderr)
+        ok = False
+    if grad_rel_int > th["fit_grad_interior_rel"]:
+        print(f"  FIDELITY REGRESSION c5 fit: interior grad rel "
+              f"{grad_rel_int:.2e} > {th['fit_grad_interior_rel']}",
+              file=sys.stderr)
+        ok = False
+    if flips > th["fit_hit_flip_px"]:
+        print(f"  FIDELITY REGRESSION c5 fit: hit-flip pixels {flips} > "
+              f"{th['fit_hit_flip_px']}", file=sys.stderr)
         ok = False
     return ok
 
