@@ -337,6 +337,35 @@ Vec leaf_normal(const Scene &S, const ObjView &O, int li, const Vec &p) {
 }
 
 // --------------------------------------------------------------------- sdf
+// Bitwise-portable f32 log — the C++ mirror of core.math.portable_log
+// (RenderSettings.bulb_log == "portable"). Identical reduction, f32
+// constants and two-round association as the jnp and NumPy mirrors
+// (this TU builds with -ffp-contract=off, so every op rounds once);
+// pinned bitwise in tests/test_portable_log.py. Domain: normal positive
+// finite x (callers guard with fmax(x, 1e-30f)).
+static bool g_portable_log = false;
+
+static inline float portable_logf(float x) {
+  static const float C[9] = {
+      -0.4999999701976776f, 0.33333322405815125f, -0.2500077188014984f,
+      0.2000196874141693f, -0.1662759929895401f, 0.1418900042772293f,
+      -0.131016343832016f, 0.12821748852729797f, -0.07866667956113815f};
+  int32_t bits;
+  std::memcpy(&bits, &x, 4);
+  int32_t e = ((bits >> 23) & 0xFF) - 126;
+  int32_t fb = (bits & 0x007FFFFF) | 0x3F000000;
+  float f;
+  std::memcpy(&f, &fb, 4);
+  if (f < 0.7071067811865476f) { f = f + f; e -= 1; }
+  float ef = (float)e;
+  float u = f - 1.0f;
+  float g = C[8];
+  for (int i = 7; i >= 0; --i) g = g * u + C[i];
+  float u2 = u * u;
+  float l1p = u + u2 * g;
+  return ef * 0.6931457519531250f + (l1p + ef * 1.4286067653301955e-06f);
+}
+
 float leaf_sdf(const Scene &S, const ObjView &O, int li, const Vec &p) {
   const int32_t *m = S.leaf_meta + 4 * (O.leaf_off + li);
   const float *prm = S.leaf_params + 8 * (O.leaf_off + li);
@@ -428,7 +457,9 @@ float leaf_sdf(const Scene &S, const ObjView &O, int li, const Vec &p) {
   float r = std::sqrt(mm);
   // max(mm, 1e-30): same guard as engines/sdf (de exactly 0 at mm == 0
   // instead of log(0)*0 = NaN); identical for every normal mm
-  float de = 0.25f * std::log(std::fmax(mm, 1e-30f)) * r / dz;
+  float lg = g_portable_log ? portable_logf(std::fmax(mm, 1e-30f))
+                          : std::log(std::fmax(mm, 1e-30f));
+  float de = 0.25f * lg * r / dz;
   // far-field guard -- see engines/sdf.sdf_mandelbulb
   float r0 = std::sqrt((px * px + py * py) + pz * pz);
   float far_ = r0 - 1.35f;
@@ -623,6 +654,7 @@ extern "C" void sj_golden_render(
   S.shadows = headeri[ii++]; S.soft_shadows = headeri[ii++];
   S.ao = headeri[ii++];
   S.fd_normals = headeri[ii++];
+  g_portable_log = headeri[ii++] != 0;
 
   S.objs = objs; S.n_objs = n_objs;
   S.nodes = nodes; S.leaf_meta = leaf_meta;

@@ -114,7 +114,8 @@ def render(scene, camera, settings) -> Dict[str, np.ndarray]:
         [intr.width, intr.height, settings.max_steps, settings.shadow_steps,
          settings.ao_samples, int(settings.shadows),
          int(settings.soft_shadows), int(settings.ao),
-         int(settings.normals == "fd")], np.int32)
+         int(settings.normals == "fd"),
+         int(getattr(settings, "bulb_log", "hw") == "portable")], np.int32)
 
     n = intr.width * intr.height
     out_rgb = np.zeros(3 * n, np.float32)

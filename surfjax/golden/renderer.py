@@ -302,6 +302,45 @@ def _leaf_sdf(leaf: _Leaf, p):
     raise TypeError(f"golden sdf: unsupported leaf {type(n).__name__}")
 
 
+# Bitwise-portable log — the NumPy mirror of core.math.portable_log
+# (RenderSettings.bulb_log == "portable"): identical reduction,
+# identical coefficient values, identical two-round association, so the
+# oracle's bulb-DE epilogue log matches the kernel's bit for bit
+# (tests/test_portable_log.py pins all three mirrors). Independently
+# written per the oracle-independence rule — the ALGORITHM is shared by
+# spec, the code is not.
+_PLOG_C = tuple(np.float32(v) for v in (
+    -0.4999999701976776, 0.33333322405815125, -0.2500077188014984,
+    0.2000196874141693, -0.1662759929895401, 0.1418900042772293,
+    -0.131016343832016, 0.12821748852729797, -0.07866667956113815))
+_PLOG_LN2_HI = np.float32(0.6931457519531250)
+_PLOG_LN2_LO = np.float32(1.4286067653301955e-06)
+_PLOG_SQRTH = np.float32(0.7071067811865476)
+
+# set by render() from settings.bulb_log; all worker threads of
+# render_parallel share one settings, so the module flag is benign
+_PORTABLE_LOG = False
+
+
+def _portable_log(x):
+    x = np.asarray(x, np.float32)
+    bits = x.view(np.int32)
+    e = ((bits >> 23) & np.int32(0xFF)) - np.int32(126)
+    f = ((bits & np.int32(0x007FFFFF)) | np.int32(0x3F000000)).view(
+        np.float32)
+    small = f < _PLOG_SQRTH
+    f = np.where(small, f + f, f).astype(np.float32)
+    e = np.where(small, e - np.int32(1), e)
+    ef = e.astype(np.float32)
+    u = f - np.float32(1.0)
+    g = np.full_like(u, _PLOG_C[8])
+    for c in _PLOG_C[7::-1]:
+        g = g * u + c
+    u2 = u * u
+    l1p = u + u2 * g
+    return ef * _PLOG_LN2_HI + (l1p + ef * _PLOG_LN2_LO)
+
+
 def _sdf_mandelbulb_general(n: api.Mandelbulb, p):
     """General power-n trig-form DE (engines/sdf.sdf_mandelbulb_general)."""
     c = tuple(F(v) for v in n.center)
@@ -399,7 +438,8 @@ def _sdf_mandelbulb(n: api.Mandelbulb, p):
     r = np.sqrt(m)
     # max(m, 1e-30): same guard as engines/sdf (de exactly 0 at m == 0
     # instead of log(0)*0 = NaN); identical for every normal m
-    de = F(0.25) * np.log(np.maximum(m, F(1e-30))) * r / dz
+    log_fn = _portable_log if _PORTABLE_LOG else np.log
+    de = F(0.25) * log_fn(np.maximum(m, F(1e-30))) * r / dz
     # far-field guard -- see engines/sdf.sdf_mandelbulb
     r0 = np.sqrt((px * px + py * py) + pz * pz)
     far = r0 - F(1.35)
@@ -589,6 +629,8 @@ def render(scene: api.Scene, camera: api.Camera,
     row_range=(r0, r1) renders only image rows [r0, r1) — global row
     indices, so every per-lane value is bitwise identical to the full
     render (used by render_parallel's row blocks)."""
+    global _PORTABLE_LOG
+    _PORTABLE_LOG = getattr(settings, "bulb_log", "hw") == "portable"
     intr = camera.intrinsics
     H, W = intr.height, intr.width
     r0, r1 = (0, H) if row_range is None else row_range

@@ -78,6 +78,11 @@ THRESHOLDS = {
     # SPEC config — gated so the variant can't regress unnoticed
     "c3_sdf_std.yaml": {"hit_agree": 0.9995, "q99": 0.12,
                         "ulp_q99": None, "gross": None},
+    # bitwise-portable DE-epilogue log variant (r5 measured dead end —
+    # docs/COMPONENTS.md "Portable-log experiment"): kept runnable and
+    # gated at the same c3 carve-out so the opt-in can't rot
+    "c3_sdf_portlog.yaml": {"hit_agree": 0.9995, "q99": 0.12,
+                            "ulp_q99": None, "gross": None},
     "c4_mesh.yaml": {"hit_agree": 0.9999, "q99": 2e-5, "ulp_q99": 200,
                      "gross": 5e-7},
     # c5 is a MARCHED smooth-union SDF (unlike analytic c1/c2 or exact-t
