@@ -14,11 +14,30 @@ Mechanics: JAX's own persistent cache (``jax_compilation_cache_dir``)
 keyed on the serialized HLO + compile options + platform, so code or
 flag changes miss cleanly and recompile; entries are the exact
 executables XLA produced (bitwise-identical replays). The default
-location is ``<repo>/.jax_cache`` (gitignored) — kept inside the repo
-deliberately: this environment must not write outside it.
+location is ``<repo>/.jax_cache/<fingerprint>`` (gitignored) — kept
+inside the repo deliberately: this environment must not write outside
+it.
+
+Why the ``<fingerprint>`` subdirectory (r5, found the hard way): the
+repo — and so this cache — is shared with the driver/judge containers,
+whose XLA stack compiles XLA:CPU executables with target-machine
+features this host's loader doesn't know (``+prefer-no-scatter``/
+``+prefer-no-gather``), and **JAX's cache key does not include XLA:CPU
+target machine features**. Loading those foreign AOT entries produced
+an order-dependent test-suite SIGSEGV (inside a later
+``backend_compile_and_load``) and a reproducible 1-pixel numeric
+mismatch in ``test_kernel_matches_twin_config3`` (cpu_aot_loader.cc
+warns "could lead to execution errors such as SIGILL"). Scoping the
+cache by a fingerprint of (machine CPU flags, jax/jaxlib version +
+install path, XLA_FLAGS, JAX_PLATFORMS, axon relay env) makes
+cross-context loads structurally impossible while keeping same-context
+replays (the 387.6 s -> 13.0 s relay win runs in one context).
 
 Env knob: ``SURFJAX_COMPILE_CACHE`` — a directory path overrides the
-default; ``0``/``off``/``none`` disables the cache entirely.
+default root (the fingerprint subdir still applies); ``0``/``off``/
+``none`` disables the cache entirely. An explicit JAX-level
+``JAX_COMPILATION_CACHE_DIR`` wins untouched (no fingerprint): that
+path means the user took full control.
 """
 
 from __future__ import annotations
@@ -26,6 +45,39 @@ from __future__ import annotations
 import os
 
 _ENABLED: bool | None = None
+
+
+def context_fingerprint() -> str:
+    """12-hex digest of everything that changes what an XLA compile
+    produces but is NOT in JAX's cache key: host CPU features (the
+    judge/driver containers differ), the jax/jaxlib build (version and
+    install path), XLA_FLAGS, the platform selection, and the axon
+    relay configuration (remote_compile moves compilation to another
+    host entirely)."""
+    import hashlib
+    import platform
+
+    parts = [platform.machine()]
+    try:
+        import jax
+        import jaxlib
+        parts += [jax.__version__, jaxlib.__version__,
+                  os.path.dirname(jax.__file__)]
+    except Exception:  # pragma: no cover - jax always importable here
+        parts.append("no-jax")
+    parts.append(os.environ.get("XLA_FLAGS", ""))
+    parts.append(os.environ.get("JAX_PLATFORMS", ""))
+    parts.extend(f"{k}={v}" for k, v in sorted(os.environ.items())
+                 if k.startswith(("PALLAS_AXON", "AXON_")))
+    try:
+        with open("/proc/cpuinfo") as fh:
+            for line in fh:
+                if line.startswith(("flags", "Features")):
+                    parts.append(line.strip())
+                    break
+    except OSError:  # pragma: no cover - non-/proc platforms
+        pass
+    return hashlib.sha256("|".join(parts).encode()).hexdigest()[:12]
 
 
 def enable_persistent_cache() -> bool:
@@ -43,11 +95,15 @@ def enable_persistent_cache() -> bool:
     if knob.lower() in ("0", "off", "none", "disable", "disabled"):
         _ENABLED = False
         return False
-    cache_dir = knob or os.path.join(
+    root = knob or os.path.join(
         os.path.dirname(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__)))), ".jax_cache")
     try:
         import jax
+
+        # entries must never cross compile contexts (module docstring:
+        # a foreign-container XLA:CPU AOT entry segfaulted the suite)
+        cache_dir = os.path.join(root, context_fingerprint())
 
         # an explicit JAX-level setting wins: don't clobber a cache dir
         # the user already configured via JAX_COMPILATION_CACHE_DIR or

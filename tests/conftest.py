@@ -24,3 +24,18 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Drop compiled executables between test modules (r5).
+
+    The full suite accumulates ~180 tests' jitted programs in one
+    process; at that pressure the largest interpret-mode pallas compile
+    (test_mesh's AO+soft-shadow frame) segfaulted inside XLA:CPU
+    compile/deserialize REPRODUCIBLY, while the same test solo passes.
+    Clearing per module bounds live executable memory; cross-module
+    recompiles are persistent-cache hits (fast) where the cache is on.
+    """
+    yield
+    jax.clear_caches()

@@ -38,7 +38,12 @@ def _run(extra_env: dict) -> dict:
 def test_cache_on_by_default():
     res = _run({"SURFJAX_COMPILE_CACHE": ""})
     assert res["dir"] is not None
-    assert res["dir"].endswith(".jax_cache")
+    # r5 layout: .jax_cache/<12-hex context fingerprint> — entries from
+    # a different machine/stack (driver/judge containers) must never be
+    # AOT-loaded here (a foreign XLA:CPU entry segfaulted the suite)
+    parent, fp = os.path.split(res["dir"])
+    assert parent.endswith(".jax_cache")
+    assert len(fp) == 12 and int(fp, 16) >= 0
     assert os.path.isdir(res["dir"])  # created eagerly
     # inside the repo — this environment must not write outside it
     assert os.path.commonpath([res["dir"], REPO]) == REPO
@@ -52,7 +57,23 @@ def test_cache_env_off():
 def test_cache_env_custom_dir(tmp_path):
     custom = str(tmp_path / "cachedir")
     res = _run({"SURFJAX_COMPILE_CACHE": custom})
-    assert res["dir"] == custom
+    # the custom root is honored but the context fingerprint still
+    # applies — relocating the cache must not reintroduce cross-context
+    # entry sharing
+    assert os.path.dirname(res["dir"]) == custom
+
+
+def test_cache_fingerprint_separates_contexts(tmp_path):
+    # same root, different compile contexts (XLA_FLAGS differ) -> two
+    # disjoint cache dirs, so an entry compiled under one can never be
+    # deserialized under the other
+    custom = str(tmp_path / "cachedir")
+    res_a = _run({"SURFJAX_COMPILE_CACHE": custom,
+                  "XLA_FLAGS": "--xla_force_host_platform_device_count=8"})
+    res_b = _run({"SURFJAX_COMPILE_CACHE": custom,
+                  "XLA_FLAGS": "--xla_force_host_platform_device_count=2"})
+    assert os.path.dirname(res_a["dir"]) == custom
+    assert res_a["dir"] != res_b["dir"]
 
 
 def test_cache_explicit_jax_setting_wins(tmp_path):
