@@ -138,12 +138,16 @@ class RenderSettings:
     bulb_log: str = "hw"
     # Vectorized object loop for LARGE scenes (r3 verdict Weak #4): with
     # the flag on, single-leaf positively-signed sphere/box objects of
-    # the SDF AND analytic engines (the "crowd") are traced/shaded by
-    # lax.fori_loops whose bodies read each member's parameters
-    # dynamically (SMEM scalar reads) — SDF members march, analytic
-    # members take their exact interval hits and closed-form normals —
-    # instead of the per-object static unrolling that costs ~0.67 s of
-    # warm compile per object. Per-lane arithmetic is IDENTICAL to the
+    # the SDF AND analytic engines, PLUS (r5) SDF two-leaf PAIRS — tape
+    # exactly union/smooth_union(leaf0, leaf1) with positive sphere/box
+    # leaves (the repeated-structure CSG class, whose unrolled compile
+    # measured 89.8 s at 65 objects / 222.6 s at 129,
+    # tools/compile_scaling.py --scene=csgpair) — form the "crowd":
+    # traced/shaded by lax.fori_loops whose bodies read each member's
+    # parameters dynamically (SMEM scalar reads) — SDF members march,
+    # analytic members take their exact interval hits and closed-form
+    # normals — instead of the per-object static unrolling that costs
+    # ~0.67-1.7 s of warm compile per object. Per-lane arithmetic is IDENTICAL to the
     # unrolled path (same _bound_entry + _march + per-member normals/
     # shadows/AO/shading), so geometry outputs (depth/normal/hit/obj_id)
     # are BITWISE-equal to the unrolled path and rgb is within 2 ULP

@@ -685,16 +685,25 @@ def _fd_normal(sdf_fn, p, eps: float):
 # ---------------------------------------------------------------------------
 
 class CrowdIR(NamedTuple):
-    """Crowd membership, partitioned into four statically-kinded
-    sections so every fori_loop body is single-kind/single-engine:
-    members = sdf spheres ++ sdf boxes ++ analytic spheres ++ analytic
-    boxes (scene order within each section)."""
+    """Crowd membership, partitioned into statically-kinded sections so
+    every fori_loop body is single-kind/single-engine: members =
+    sdf spheres ++ sdf boxes ++ analytic spheres ++ analytic boxes ++
+    two-leaf SDF pairs grouped by (leaf kinds, op) (scene order within
+    each section). Pair sections (r5, verdict Next #4): objects whose
+    tape is exactly op(leaf0, leaf1) with op in {union, smooth_union}
+    and both leaves positive sphere/box — the repeated-structure CSG
+    class whose unrolled compile measured 90 s at 65 objects / 223 s at
+    129 (tools/compile_scaling.py --scene=csgpair)."""
     members: Tuple      # ((obj_idx, ObjectIR), ...) in section order
     n_sph_sdf: int
     n_box_sdf: int
     n_sph_ana: int
     n_box_ana: int
     shin_groups: Tuple  # distinct static shininess values (group order)
+    # ((is_sphere0, is_sphere1, op, count), ...) — static pair sections,
+    # in canonical (kinds, op) order; members for section i follow the
+    # four single sections contiguously
+    pair_specs: Tuple = ()
 
     @property
     def sdf_ranges(self):
@@ -712,8 +721,30 @@ class CrowdIR(NamedTuple):
         return self.sdf_ranges + self.ana_ranges
 
     @property
+    def n_singles(self):
+        return (self.n_sph_sdf + self.n_box_sdf + self.n_sph_ana
+                + self.n_box_ana)
+
+    @property
+    def pair_ranges(self):
+        """((lo, hi, (is_s0, is_s1, op)), ...) — same shape contract as
+        sdf_ranges/ana_ranges so _crowd_sections runs them unchanged
+        (the static tag is the pair spec instead of is_sphere)."""
+        out = []
+        lo = self.n_singles
+        for is_s0, is_s1, op, cnt in self.pair_specs:
+            out.append((lo, lo + cnt, (is_s0, is_s1, op)))
+            lo += cnt
+        return tuple(out)
+
+    @property
+    def gather_ranges(self):
+        """Every member (the shade/material gather ignores the tag)."""
+        return self.all_ranges + self.pair_ranges
+
+    @property
     def has_sdf(self):
-        return self.n_sph_sdf + self.n_box_sdf > 0
+        return self.n_sph_sdf + self.n_box_sdf > 0 or bool(self.pair_specs)
 
     @property
     def has_ana(self):
@@ -725,10 +756,13 @@ def split_crowd(static, settings):
     [(i, oir), ...] of that engine's non-crowd objects.
 
     Crowd-eligible: single positive sphere/box leaf on the SDF OR the
-    analytic engine (planes, bulbs, CSG tapes, meshes stay unrolled).
-    The crowd forms only with vector_objects on and >= 2 eligible
-    members (below that the unrolled path compiles fast and
-    identically)."""
+    analytic engine, plus (r5) SDF two-leaf PAIRS — tape exactly
+    op(leaf0, leaf1), op in {union, smooth_union}, both leaves positive
+    sphere/box (planes, bulbs, deeper CSG tapes, intersect/subtract
+    pairs, analytic pairs, meshes stay unrolled). The crowd forms only
+    with vector_objects on and >= 2 eligible members (below that the
+    unrolled path compiles fast and identically)."""
+    from surfjax.api import OP_LEAF, OP_SMOOTH_UNION, OP_UNION
     from surfjax.core.scene_compile import LEAF_BOX, LEAF_SPHERE
     analytic, sdf_objs, _ = _split(static)
     if not settings.vector_objects:
@@ -739,16 +773,50 @@ def split_crowd(static, settings):
         return (len(oir.nodes) == 1 and lf is not None and lf.sign > 0
                 and lf.kind in (LEAF_SPHERE, LEAF_BOX))
 
-    def pick(objs):
+    def pair_spec(oir):
+        """(is_s0, is_s1, op) when the object is an eligible SDF pair,
+        else None."""
+        if len(oir.nodes) != 3 or len(oir.leaves) != 2:
+            return None
+        n0, n1, n2 = oir.nodes
+        if not (n0.op == OP_LEAF and n1.op == OP_LEAF
+                and n2.op in (OP_UNION, OP_SMOOTH_UNION)
+                and n2.a == 0 and n2.b == 1):
+            return None
+        l0, l1 = oir.leaves
+        for lf in (l0, l1):
+            if lf.sign <= 0 or lf.kind not in (LEAF_SPHERE, LEAF_BOX):
+                return None
+        return (l0.kind == LEAF_SPHERE, l1.kind == LEAF_SPHERE, n2.op)
+
+    def pick(objs, allow_pairs):
         members = [(i, o) for i, o in objs if eligible(o)]
-        rest = [(i, o) for i, o in objs if not eligible(o)]
+        pairs = ([(i, o) for i, o in objs
+                  if not eligible(o) and pair_spec(o) is not None]
+                 if allow_pairs else [])
+        taken = {i for i, _ in members} | {i for i, _ in pairs}
+        rest = [(i, o) for i, o in objs if i not in taken]
         sph = [m for m in members if m[1].leaves[0].kind == LEAF_SPHERE]
         box = [m for m in members if m[1].leaves[0].kind == LEAF_BOX]
-        return sph, box, rest
+        return sph, box, pairs, rest
 
-    sph_s, box_s, rest_sdf = pick(sdf_objs)
-    sph_a, box_a, rest_ana = pick(analytic)
-    members = sph_s + box_s + sph_a + box_a
+    sph_s, box_s, pairs_s, rest_sdf = pick(sdf_objs, True)
+    sph_a, box_a, _, rest_ana = pick(analytic, False)
+
+    # group pairs by static (kinds, op) spec, canonical order
+    spec_order = []
+    by_spec = {}
+    for m in pairs_s:
+        sp = pair_spec(m[1])
+        if sp not in by_spec:
+            spec_order.append(sp)
+            by_spec[sp] = []
+        by_spec[sp].append(m)
+    pair_members = [m for sp in spec_order for m in by_spec[sp]]
+    pair_specs = tuple((sp[0], sp[1], sp[2], len(by_spec[sp]))
+                       for sp in spec_order)
+
+    members = sph_s + box_s + sph_a + box_a + pair_members
     if len(members) < 2:
         return None, analytic, sdf_objs
     groups = []
@@ -756,7 +824,7 @@ def split_crowd(static, settings):
         if oir.shininess not in groups:
             groups.append(oir.shininess)
     return (CrowdIR(tuple(members), len(sph_s), len(box_s), len(sph_a),
-                    len(box_a), tuple(groups)),
+                    len(box_a), tuple(groups), pair_specs),
             rest_ana, rest_sdf)
 
 
@@ -764,17 +832,24 @@ def split_crowd(static, settings):
 def _crowd_meta_cached(static, settings):
     crowd, _, _ = split_crowd(static, settings)
     if crowd is None:
-        return np.zeros((1, 4), np.int32)
-    rows = [[oir.leaves[0].slot, i, oir.mat,
-             crowd.shin_groups.index(oir.shininess)]
-            for i, oir in crowd.members]
+        return np.zeros((1, 6), np.int32)
+    rows = []
+    for i, oir in crowd.members:
+        slot1 = oir.leaves[1].slot if len(oir.leaves) == 2 else 0
+        pslot = (max(oir.nodes[-1].pslot, 0) if len(oir.nodes) == 3
+                 else 0)
+        rows.append([oir.leaves[0].slot, i, oir.mat,
+                     crowd.shin_groups.index(oir.shininess), slot1, pslot])
     return np.asarray(rows, np.int32)
 
 
 def crowd_meta(static, settings):
-    """(max(1,n), 4) int32 [leaf_slot, obj_idx, mat_idx, shin_group] —
-    the SMEM side table every kernel body receives (row j = member j,
-    spheres first). A (1,4) zero row stands in when there is no crowd."""
+    """(max(1,n), 6) int32 [leaf_slot0, obj_idx, mat_idx, shin_group,
+    leaf_slot1, node_pslot] — the SMEM side table every kernel body
+    receives (row j = member j, singles first, then pair sections).
+    slot1/pslot are 0 for single-leaf members (never read: sections are
+    statically kinded). A (1,6) zero row stands in when there is no
+    crowd."""
     return jnp.asarray(_crowd_meta_cached(static, settings))
 
 
@@ -782,11 +857,70 @@ def _crowd_member(crowd_refs, j):
     """Member j's (leaf params 8-tuple, obj idx f32, mat idx, group f32),
     all via dynamic scalar reads (SMEM refs in kernels, jnp arrays in the
     twin)."""
-    cm, lpr = crowd_refs
+    cm, lpr, _ = crowd_refs
     slot = cm[j, 0]
     prm = tuple(lpr[slot, k] for k in range(8))
     return (prm, cm[j, 1].astype(jnp.float32), cm[j, 2],
             cm[j, 3].astype(jnp.float32))
+
+
+def _crowd_member_pair(crowd_refs, j):
+    """Pair member j's (prm0, prm1, k, obj idx f32, mat idx, group f32).
+    k is the smooth-op blend radius (node_params[pslot, 0]; read but
+    unused for hard-union sections — their formula never touches it)."""
+    cm, lpr, npr = crowd_refs
+    slot0 = cm[j, 0]
+    slot1 = cm[j, 4]
+    prm0 = tuple(lpr[slot0, k] for k in range(8))
+    prm1 = tuple(lpr[slot1, k] for k in range(8))
+    k = npr[cm[j, 5], 0]
+    return (prm0, prm1, k, cm[j, 1].astype(jnp.float32), cm[j, 2],
+            cm[j, 3].astype(jnp.float32))
+
+
+def _crowd_pair_sdf(prm0, is_s0, prm1, is_s1, op, k):
+    """Pair member SDF op(leaf0, leaf1) — the EXACT arithmetic and
+    association of engines.sdf.eval_sdf's tape for this 3-node object,
+    so pair-crowd geometry stays bitwise-equal to the unrolled path."""
+    from surfjax.api import OP_UNION
+    from surfjax.core.math import mix, saturate
+    f0 = _crowd_leaf_sdf(prm0, is_s0)
+    f1 = _crowd_leaf_sdf(prm1, is_s1)
+    if op == OP_UNION:
+        return lambda p: jnp.minimum(f0(p), f1(p))
+
+    def f(p):  # OP_SMOOTH_UNION (Quilez polynomial form, as eval_sdf)
+        a = f0(p)
+        b = f1(p)
+        h = saturate(F32(0.5) + F32(0.5) * (b - a) / k)
+        return mix(b, a, h) - k * h * (F32(1.0) - h)
+    return f
+
+
+def _crowd_pair_bound(prm0, is_s0, prm1, is_s1, op, k):
+    """Pair bounding sphere — the EXACT arithmetic of _object_bound for
+    a two-leaf tape (mean center; max leaf reach; + k/4 smooth margin),
+    so bound entries/clips match the unrolled path bitwise. Sphere/box
+    leaf bounds are simultaneously covers and pointwise lower bounds,
+    and smooth-min >= min - k/4, so R + k/4 keeps BOTH properties for
+    the pair (hard union: pslot < 0 in the tape -> no margin, matching
+    _object_bound's pslot >= 0 filter)."""
+    from surfjax.api import OP_SMOOTH_UNION
+    b0 = _crowd_bound(prm0, is_s0)
+    b1 = _crowd_bound(prm1, is_s1)
+    cx = (b0[0] + b1[0]) * F32(0.5)
+    cy = (b0[1] + b1[1]) * F32(0.5)
+    cz = (b0[2] + b1[2]) * F32(0.5)
+    R = None
+    for bx, by, bz, br in (b0, b1):
+        dx, dy, dz = bx - cx, by - cy, bz - cz
+        rr = jnp.sqrt((dx * dx + dy * dy) + dz * dz) + br
+        R = rr if R is None else jnp.maximum(R, rr)
+    if op == OP_SMOOTH_UNION:
+        # _object_bound: k_margin = F32(0.0) + k * F32(0.25); the
+        # leading exact zero is a no-op on normal k
+        R = R + k * F32(0.25)
+    return cx, cy, cz, R
 
 
 def _crowd_bound(prm, is_sphere: bool):
@@ -852,16 +986,8 @@ def _crowd_trace(crowd, crowd_refs, o, d, t_start, settings,
     """Crowd section of trace_core: per-member bound entry + march with
     progressive clipping, merged exactly like the unrolled loop.
     state/-> (t, obj, leaf, t_clip, unres)."""
-    def member(j, is_sphere, carry):
+    def merge(carry, t_j, hit_j, un_j, obj_f):
         t, obj, leaf, t_clip, unres = carry
-        prm, obj_f, _, _ = _crowd_member(crowd_refs, j)
-        b = _crowd_bound(prm, is_sphere)
-        sdf_j = _crowd_leaf_sdf(prm, is_sphere)
-        t1, clip2 = _bound_entry(b, o, d, t_start, t_clip, exit_margin)
-        t_j, hit_j, un_j = _march(sdf_j, o, d, F32(0.0), clip2, steps,
-                                  settings.hit_eps, t_init=t1,
-                                  relax=settings.over_relax,
-                                  eps_scale=settings.hit_eps_scale)
         better = (hit_j > F32(0.5)) & (t_j < t)
         t = jnp.where(better, t_j, t)
         obj = jnp.where(better, obj_f, obj)
@@ -870,7 +996,31 @@ def _crowd_trace(crowd, crowd_refs, o, d, t_start, settings,
         unres = jnp.maximum(unres, un_j)
         return (t, obj, leaf, t_clip, unres)
 
-    return _crowd_sections(crowd.sdf_ranges, member, state)
+    def member(j, is_sphere, carry):
+        prm, obj_f, _, _ = _crowd_member(crowd_refs, j)
+        b = _crowd_bound(prm, is_sphere)
+        sdf_j = _crowd_leaf_sdf(prm, is_sphere)
+        t1, clip2 = _bound_entry(b, o, d, t_start, carry[3], exit_margin)
+        t_j, hit_j, un_j = _march(sdf_j, o, d, F32(0.0), clip2, steps,
+                                  settings.hit_eps, t_init=t1,
+                                  relax=settings.over_relax,
+                                  eps_scale=settings.hit_eps_scale)
+        return merge(carry, t_j, hit_j, un_j, obj_f)
+
+    def member_pair(j, spec, carry):
+        is_s0, is_s1, op = spec
+        prm0, prm1, k, obj_f, _, _ = _crowd_member_pair(crowd_refs, j)
+        b = _crowd_pair_bound(prm0, is_s0, prm1, is_s1, op, k)
+        sdf_j = _crowd_pair_sdf(prm0, is_s0, prm1, is_s1, op, k)
+        t1, clip2 = _bound_entry(b, o, d, t_start, carry[3], exit_margin)
+        t_j, hit_j, un_j = _march(sdf_j, o, d, F32(0.0), clip2, steps,
+                                  settings.hit_eps, t_init=t1,
+                                  relax=settings.over_relax,
+                                  eps_scale=settings.hit_eps_scale)
+        return merge(carry, t_j, hit_j, un_j, obj_f)
+
+    state = _crowd_sections(crowd.sdf_ranges, member, state)
+    return _crowd_sections(crowd.pair_ranges, member_pair, state)
 
 
 def _crowd_normals(crowd, crowd_refs, p, obj, settings, n):
@@ -904,10 +1054,29 @@ def _crowd_normals(crowd, crowd_refs, p, obj, settings, n):
         return (jnp.where(sel, n_s[0], nx), jnp.where(sel, n_s[1], ny),
                 jnp.where(sel, n_s[2], nz))
 
+    def member_fd_pair(j, spec, carry):
+        # pairs are SDF-engine: FD tetrahedron on the pair SDF in both
+        # normals modes (same as the unrolled path's SDF objects)
+        nx, ny, nz = carry
+        is_s0, is_s1, op = spec
+        prm0, prm1, k, obj_f, _, _ = _crowd_member_pair(crowd_refs, j)
+        sdf_j = _crowd_pair_sdf(prm0, is_s0, prm1, is_s1, op, k)
+        sel = obj == obj_f
+        won = jnp.where(sel, F32(1.0), F32(0.0))
+        n_s = jax.lax.cond(
+            jnp.max(won) > F32(0.5),
+            lambda: _fd_normal(sdf_j, p, settings.normal_eps),
+            lambda: (jnp.zeros_like(p[0]), jnp.zeros_like(p[0]),
+                     jnp.ones_like(p[0])))
+        return (jnp.where(sel, n_s[0], nx), jnp.where(sel, n_s[1], ny),
+                jnp.where(sel, n_s[2], nz))
+
     if settings.normals == "auto":
         n = _crowd_sections(crowd.sdf_ranges, member_fd, n)
-        return _crowd_sections(crowd.ana_ranges, member_analytic, n)
-    return _crowd_sections(crowd.all_ranges, member_fd, n)
+        n = _crowd_sections(crowd.ana_ranges, member_analytic, n)
+    else:
+        n = _crowd_sections(crowd.all_ranges, member_fd, n)
+    return _crowd_sections(crowd.pair_ranges, member_fd_pair, n)
 
 
 def _crowd_ao_terms(crowd, crowd_refs, p_off, n, settings, terms,
@@ -916,14 +1085,12 @@ def _crowd_ao_terms(crowd, crowd_refs, p_off, n, settings, terms,
     _ao_compute, max-combined (exactly equal to scene-min terms)."""
     from surfjax.engines.sdf import ao_probe_terms
 
-    def member(j, is_sphere, terms):
-        prm, _, _, _ = _crowd_member(crowd_refs, j)
-        cx, cy, cz, R = _crowd_bound(prm, is_sphere)
+    def gated_terms(bound, sdf_j, terms):
+        cx, cy, cz, R = bound
         dx = p_off[0] - cx
         dy = p_off[1] - cy
         dz = p_off[2] - cz
         hb = jnp.sqrt((dx * dx + dy * dy) + dz * dz) - R
-        sdf_j = _crowd_leaf_sdf(prm, is_sphere)
         pred = jnp.min(hb) <= F32(2.0) * F32(settings.ao_radius)
         t_j = jax.lax.cond(
             pred,
@@ -934,7 +1101,22 @@ def _crowd_ao_terms(crowd, crowd_refs, p_off, n, settings, terms,
                           for _ in range(n_terms)))
         return tuple(jnp.maximum(a, b) for a, b in zip(terms, t_j))
 
-    return _crowd_sections(crowd.all_ranges, member, terms)
+    def member(j, is_sphere, terms):
+        prm, _, _, _ = _crowd_member(crowd_refs, j)
+        return gated_terms(_crowd_bound(prm, is_sphere),
+                           _crowd_leaf_sdf(prm, is_sphere), terms)
+
+    def member_pair(j, spec, terms):
+        # pair bound includes the k/4 smooth margin, so it stays a
+        # pointwise lower bound of the pair SDF — the far gate is sound
+        is_s0, is_s1, op = spec
+        prm0, prm1, k, _, _, _ = _crowd_member_pair(crowd_refs, j)
+        return gated_terms(
+            _crowd_pair_bound(prm0, is_s0, prm1, is_s1, op, k),
+            _crowd_pair_sdf(prm0, is_s0, prm1, is_s1, op, k), terms)
+
+    terms = _crowd_sections(crowd.all_ranges, member, terms)
+    return _crowd_sections(crowd.pair_ranges, member_pair, terms)
 
 
 def _crowd_hard_vis(crowd, crowd_refs, o, l, dist, settings, steps: int,
@@ -942,11 +1124,8 @@ def _crowd_hard_vis(crowd, crowd_refs, o, l, dist, settings, steps: int,
     """Crowd section of the hard-shadow path: per-member any-hit march
     with the segment skip + bound entry/exit clip (sphere/box covers are
     exact — no iterated-DE envelope caveat). state/-> (vis, unres)."""
-    def member(j, is_sphere, carry):
+    def march_occluder(b, sdf_j, carry):
         vis, unres = carry
-        prm, _, _, _ = _crowd_member(crowd_refs, j)
-        b = _crowd_bound(prm, is_sphere)
-        sdf_j = _crowd_leaf_sdf(prm, is_sphere)
         dist_j = jnp.where(vis <= F32(0.0), F32(0.0), dist)
         dseg = _seg_bound_dist(b, o, l, F32(eps), dist_j)
         dist_j = jnp.where(dseg > F32(eps_margin), F32(0.0), dist_j)
@@ -961,6 +1140,18 @@ def _crowd_hard_vis(crowd, crowd_refs, o, l, dist, settings, steps: int,
         unres = jnp.maximum(unres, un_j)
         return (vis, unres)
 
+    def member(j, is_sphere, carry):
+        prm, _, _, _ = _crowd_member(crowd_refs, j)
+        return march_occluder(_crowd_bound(prm, is_sphere),
+                              _crowd_leaf_sdf(prm, is_sphere), carry)
+
+    def member_pair(j, spec, carry):
+        is_s0, is_s1, op = spec
+        prm0, prm1, k, _, _, _ = _crowd_member_pair(crowd_refs, j)
+        return march_occluder(
+            _crowd_pair_bound(prm0, is_s0, prm1, is_s1, op, k),
+            _crowd_pair_sdf(prm0, is_s0, prm1, is_s1, op, k), carry)
+
     def member_analytic(j, is_sphere, carry):
         # exact any-hit, same interval arithmetic as intersect_analytic\'s
         # single-leaf fast path (engines/analytic.py)
@@ -971,6 +1162,7 @@ def _crowd_hard_vis(crowd, crowd_refs, o, l, dist, settings, steps: int,
         return (vis, unres)
 
     state = _crowd_sections(crowd.sdf_ranges, member, state)
+    state = _crowd_sections(crowd.pair_ranges, member_pair, state)
     return _crowd_sections(crowd.ana_ranges, member_analytic, state)
 
 
@@ -982,14 +1174,8 @@ def _crowd_soft_vis(crowd, crowd_refs, o, l, dist, settings, steps: int,
     state/-> (soft_vis, unres)."""
     tmin_s = F32(settings.soft_shadow_tmin)
 
-    def member(j, is_sphere, carry):
+    def windowed_march(b, sdf_j, carry):
         soft_vis, unres = carry
-        prm, _, _, _ = _crowd_member(crowd_refs, j)
-        if is_sphere:
-            v_j = _penumbra_sphere(prm, o, l, tmin_s, dist, kf)
-            return (jnp.minimum(soft_vis, v_j), unres)
-        b = _crowd_bound(prm, False)
-        sdf_j = _crowd_leaf_sdf(prm, False)
         dist_j = jnp.where(soft_vis <= F32(0.0), F32(0.0), dist)
         t_lo, t_hi = _influence_window(b, o, l, tmin_s, dist_j, kf)
         v_j, un_j = _soft_march(sdf_j, o, l, settings.soft_shadow_tmin,
@@ -998,7 +1184,27 @@ def _crowd_soft_vis(crowd, crowd_refs, o, l, dist, settings, steps: int,
                                 relax=settings.over_relax)
         return (jnp.minimum(soft_vis, v_j), jnp.maximum(unres, un_j))
 
-    return _crowd_sections(crowd.all_ranges, member, state)
+    def member(j, is_sphere, carry):
+        prm, _, _, _ = _crowd_member(crowd_refs, j)
+        if is_sphere:
+            soft_vis, unres = carry
+            v_j = _penumbra_sphere(prm, o, l, tmin_s, dist, kf)
+            return (jnp.minimum(soft_vis, v_j), unres)
+        return windowed_march(_crowd_bound(prm, False),
+                              _crowd_leaf_sdf(prm, False), carry)
+
+    def member_pair(j, spec, carry):
+        # no closed-form penumbra for a pair: influence-window march on
+        # the pair SDF (the window bound carries the k/4 smooth margin,
+        # keeping the pointwise-lower-bound property the window needs)
+        is_s0, is_s1, op = spec
+        prm0, prm1, k, _, _, _ = _crowd_member_pair(crowd_refs, j)
+        return windowed_march(
+            _crowd_pair_bound(prm0, is_s0, prm1, is_s1, op, k),
+            _crowd_pair_sdf(prm0, is_s0, prm1, is_s1, op, k), carry)
+
+    state = _crowd_sections(crowd.all_ranges, member, state)
+    return _crowd_sections(crowd.pair_ranges, member_pair, state)
 
 
 def _crowd_shade(crowd, crowd_refs, mat_table, obj, hit_mask, ambient,
@@ -1007,7 +1213,7 @@ def _crowd_shade(crowd, crowd_refs, mat_table, obj, hit_mask, ambient,
     shade_object call per distinct static shininess group. Per-lane
     arithmetic equals the unrolled per-object shade (the gathered mat
     values are the lane's object's exact rows). rgb/-> (r, g, b)."""
-    cm, _ = crowd_refs
+    cm = crowd_refs[0]
     zeros = jnp.zeros_like(obj)
 
     def gather(j, carry):
@@ -1021,7 +1227,7 @@ def _crowd_shade(crowd, crowd_refs, mat_table, obj, hit_mask, ambient,
         return (mats, grp, isc)
 
     mats, grp, isc = _crowd_sections(
-        crowd.all_ranges, lambda j, _is, c: gather(j, c),
+        crowd.gather_ranges, lambda j, _is, c: gather(j, c),
         (tuple(zeros for _ in range(9)), zeros, zeros))
 
     r, g, b = rgb
@@ -1659,7 +1865,7 @@ def _k1_body(static, settings, n_leaves, n_nodes, march_cap,
              t_ref, obj_ref, nx_ref, ny_ref, nz_ref, ao_ref, hit_ref,
              unres_ref):
     lp, nparams = _read_params(lp_ref, np_ref, n_leaves, n_nodes)
-    crowd_refs = (cm_ref, lp_ref)
+    crowd_refs = (cm_ref, lp_ref, np_ref)
     o = (ox_ref[:], oy_ref[:], oz_ref[:])
     d = (dx_ref[:], dy_ref[:], dz_ref[:])
     t, obj, leaf, hit_f, unres = trace_core(static, settings, lp, nparams,
@@ -1708,7 +1914,7 @@ def _ao_fix_body(static, settings, n_leaves, n_nodes,
     def compute():
         ao_new = _ao_compute(static, settings, lp, nparams, p, n,
                              already_offset=True,
-                             crowd_refs=(cm_ref, lp_ref))
+                             crowd_refs=(cm_ref, lp_ref, np_ref))
         return jnp.where(need > F32(0.5), ao_new, ao_in)
 
     ao_ref[:] = jax.lax.cond(jnp.max(need) > F32(0.5), compute,
@@ -1749,7 +1955,7 @@ def _k2_body(static, settings, n_leaves, n_nodes, march_cap,
     vis, unres = visibility_core(static, settings, lp, nparams, o, l,
                                  dist_ref[:], soft_k=k_ref[:],
                                  march_cap=march_cap,
-                                 crowd_refs=(cm_ref, lp_ref))
+                                 crowd_refs=(cm_ref, lp_ref, np_ref))
     vis_ref[:] = vis
     unres_ref[:] = unres
 
@@ -1845,7 +2051,7 @@ def _kframe_body(static, settings, n_leaves, n_nodes, intr, tx_tiles,
     from surfjax.core.math import vnormalize
     from surfjax.core.scene_compile import LIGHT_POINT
     lp, nparams = _read_params(lp_ref, np_ref, n_leaves, n_nodes)
-    crowd_refs = (cm_ref, lp_ref)
+    crowd_refs = (cm_ref, lp_ref, np_ref)
     crowd, _, _ = split_crowd(static, settings)
     R = r_ref.shape[0]
 
@@ -2007,7 +2213,7 @@ def scene_march_twin(static, settings: RenderSettings, leaf_params,
     nparams = node_params
     # the twin mirrors the crowd path too (dynamic reads hit jnp arrays
     # instead of SMEM refs — same indices, same arithmetic)
-    crowd_refs = (crowd_meta(static, settings), leaf_params)
+    crowd_refs = (crowd_meta(static, settings), leaf_params, node_params)
     t, obj, leaf, hit_f, _ = trace_core(static, settings, lp, nparams,
                                         o, d, settings.t_min,
                                         settings.t_max, t0=t0,
@@ -2593,7 +2799,7 @@ def _render_padded(static, settings: RenderSettings, params, o2, d2,
         # split-path shading runs in XLA: dynamic reads hit the jnp
         # materials/meta arrays directly (same arithmetic as in-kernel)
         r, g, b = _crowd_shade(
-            crowd, (crowd_meta(static, settings), lp),
+            crowd, (crowd_meta(static, settings), lp, nparams),
             params["materials"], obj, hit_mask, ambient, ao, n, v,
             light_terms, (r, g, b))
 

@@ -165,22 +165,28 @@ def test_split_crowd_membership():
               Material.lambert(), engine="sdf")  # excluded: iterated DE
     scene.add(smooth_union(Sphere(center=(0, 1, 3), radius=0.3),
                            Sphere(center=(0.4, 1, 3), radius=0.3), 0.2),
-              Material.lambert(), engine="sdf")  # excluded: CSG tape
+              Material.lambert(), engine="sdf")  # eligible SDF PAIR (r5)
     scene.add(Plane(normal=(0, 1, 0), offset=-1.0),
               Material.lambert())  # excluded: plane leaf (unboundable)
     scene.add(Sphere(center=(2, 0, 3), radius=0.3),
               Material.lambert())  # analytic sphere: eligible (r4)
     scene.add(union(Sphere(center=(0, 2, 3), radius=0.3),
                     Box(center=(0.4, 2, 3), half_extents=(0.2,) * 3)),
-              Material.lambert())  # excluded: analytic CSG
+              Material.lambert())  # excluded: ANALYTIC pairs stay unrolled
     static, _ = scene.freeze()
     s_on = RenderSettings(vector_objects=True)
     crowd, rest_ana, rest_sdf = split_crowd(static, s_on)
     assert crowd is not None
-    assert len(crowd.members) == 3
+    assert len(crowd.members) == 4
     assert (crowd.n_sph_sdf, crowd.n_box_sdf,
             crowd.n_sph_ana, crowd.n_box_ana) == (1, 1, 1, 0)
-    assert {i for i, _ in rest_sdf} == {2, 3}
+    # the smooth_union(sphere, sphere) object is one (ss, smooth) pair
+    # section; the pair member follows the singles in `members`
+    assert len(crowd.pair_specs) == 1
+    is_s0, is_s1, _op, cnt = crowd.pair_specs[0]
+    assert (is_s0, is_s1, cnt) == (True, True, 1)
+    assert crowd.members[-1][0] == 3
+    assert {i for i, _ in rest_sdf} == {2}
     assert {i for i, _ in rest_ana} == {4, 6}
     # flag off -> no crowd ever
     crowd_off, ana_off, sdf_off = split_crowd(static, RenderSettings())
@@ -310,3 +316,101 @@ def test_crowd_sequence_matches_frames():
     from surfjax.io.image import ulp_diff_f32
     u = ulp_diff_f32(np.asarray(seq_u.rgb), np.asarray(seq_c.rgb))
     assert u.max() <= 2, u.max()
+
+
+# ---------------------------------------------------------------------------
+# Two-leaf pair crowd (r5, verdict Next #4)
+# ---------------------------------------------------------------------------
+
+def _pair_scene(n_pairs=6, n_singles=3, soft=False, ao=False,
+                with_union=True, with_plane=True):
+    """Mixed crowd: smooth-union pairs (varying k), one hard-union pair,
+    single spheres, a bulb (stays unrolled), a floor plane."""
+    from surfjax import Mandelbulb, smooth_union, union
+    rng = np.random.default_rng(11)
+    scene = Scene()
+    mats = [Material.lambert(albedo=(0.7, 0.4, 0.3)),
+            Material.blinn_phong(albedo=(0.3, 0.6, 0.8), shininess=16)]
+    for k in range(n_pairs):
+        c = (float(rng.uniform(-1.6, 1.6)), float(rng.uniform(-0.5, 1.0)),
+             float(rng.uniform(2.4, 4.2)))
+        a = Sphere(center=c, radius=float(rng.uniform(0.15, 0.3)))
+        if k % 2 == 0:
+            b = Sphere(center=(c[0] + 0.25, c[1], c[2]),
+                       radius=float(rng.uniform(0.12, 0.25)))
+        else:
+            b = Box(center=(c[0] + 0.2, c[1] + 0.1, c[2]),
+                    half_extents=tuple(
+                        float(x) for x in rng.uniform(0.08, 0.2, 3)))
+        scene.add(smooth_union(a, b, float(rng.uniform(0.08, 0.25))),
+                  mats[k % 2], engine="sdf")
+    if with_union:
+        scene.add(union(Sphere(center=(1.3, 1.2, 3.0), radius=0.2),
+                        Sphere(center=(1.55, 1.2, 3.0), radius=0.18)),
+                  mats[0], engine="sdf")
+    for k in range(n_singles):
+        scene.add(Sphere(center=(-1.5 + 0.5 * k, 1.3, 3.2), radius=0.18),
+                  mats[(k + 1) % 2], engine="sdf")
+    scene.add(Mandelbulb(center=(0.0, -0.6, 4.6), scale=0.5),
+              Material.lambert(albedo=(0.85, 0.6, 0.3)))  # stays unrolled
+    if with_plane:
+        scene.add(Plane(normal=(0.0, 1.0, 0.0), offset=-1.0),
+                  Material.lambert(albedo=(0.5, 0.5, 0.5)))
+    scene.add_light(PointLight(position=(3.0, 5.0, -1.0)))
+    cam = Camera.pinhole(128, 96, fov_y_deg=50.0,
+                         position=(0.0, 0.6, -0.5), target=(0.0, 0.0, 3.0))
+    s = RenderSettings(shadows=True, soft_shadows=soft, ao=ao,
+                       backend="pallas", tile_rows=8, max_steps=96)
+    return scene, cam, s
+
+
+class TestPairCrowdBitwise:
+    def test_pairs_hard_shadows_ao(self):
+        scene, cam, s = _pair_scene(ao=True)
+        fb_unrolled = render(scene, cam, s)
+        fb_crowd = render(scene, cam, s.with_(vector_objects=True))
+        assert np.asarray(fb_crowd.hit).mean() > 0.2
+        assert len(np.unique(np.asarray(fb_crowd.obj_id))) > 5
+        _assert_bitwise(fb_unrolled, fb_crowd)
+
+    def test_pairs_soft_shadows(self):
+        scene, cam, s = _pair_scene(soft=True)
+        fb_unrolled = render(scene, cam, s)
+        fb_crowd = render(scene, cam, s.with_(vector_objects=True))
+        _assert_bitwise(fb_unrolled, fb_crowd)
+
+    def test_pairs_only_no_singles(self):
+        scene, cam, s = _pair_scene(n_pairs=5, n_singles=0,
+                                    with_union=False, ao=True)
+        fb_unrolled = render(scene, cam, s)
+        fb_crowd = render(scene, cam, s.with_(vector_objects=True))
+        _assert_bitwise(fb_unrolled, fb_crowd)
+
+
+def test_pair_crowd_vs_golden():
+    """Crowd pair path against the independent NumPy oracle — the same
+    tolerance class as the ordinary pallas-vs-golden comparisons."""
+    scene, cam, s = _pair_scene(n_pairs=4, n_singles=2, ao=False)
+    fb = render(scene, cam, s.with_(vector_objects=True))
+    g = golden.render_parallel(scene, cam, s)
+    assert (np.asarray(fb.hit) == g["hit"]).mean() > 0.999
+    d = np.abs(np.asarray(fb.rgb) - g["rgb"])
+    assert np.quantile(d, 0.99) < 5e-3, np.quantile(d, 0.99)
+
+
+def test_pair_ineligible_ops_stay_unrolled():
+    from surfjax import smooth_subtract, subtract
+    from surfjax.kernels.render_tile import split_crowd
+    scene = Scene()
+    scene.add(subtract(Sphere(center=(0, 0, 3), radius=0.4),
+                       Sphere(center=(0.2, 0, 3), radius=0.3)),
+              Material.lambert(), engine="sdf")
+    scene.add(Sphere(center=(1, 0, 3), radius=0.3), Material.lambert(),
+              engine="sdf")
+    scene.add(Sphere(center=(-1, 0, 3), radius=0.3), Material.lambert(),
+              engine="sdf")
+    static, _ = scene.freeze()
+    crowd, _, rest_sdf = split_crowd(
+        static, RenderSettings(vector_objects=True))
+    assert crowd is not None and not crowd.pair_specs
+    assert {i for i, _ in rest_sdf} == {0}

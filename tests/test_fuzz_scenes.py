@@ -187,6 +187,16 @@ def _rand_crowd_scene(rng):
         else:
             obj = Box(center=c, half_extents=tuple(
                 float(x) for x in rng.uniform(0.1, 0.3, 3)))
+        # SDF two-leaf pairs are crowd-eligible since r5
+        if rng.random() < 0.3:
+            b = Sphere(center=(c[0] + 0.2, c[1], c[2]),
+                       radius=float(rng.uniform(0.1, 0.25)))
+            if rng.random() < 0.5:
+                obj = smooth_union(obj, b, float(rng.uniform(0.08, 0.3)))
+            else:
+                obj = union(obj, b)
+            scene.add(obj, mats[k % 3], engine="sdf")
+            continue
         # members come from BOTH engines (analytic single-leaf
         # spheres/boxes are crowd-eligible since r4)
         engine = "sdf" if rng.random() < 0.5 else None

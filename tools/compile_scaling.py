@@ -41,17 +41,26 @@ if os.environ.get("SURFJAX_COMPILE_CACHE", "off").lower() not in (
 os.environ["SURFJAX_COMPILE_CACHE"] = "off"
 
 
-def scene_n(n_spheres: int):
+def scene_n(n_spheres: int, kind: str = "sphere"):
     from surfjax.api import Camera, Material, Plane, PointLight, Scene, \
-        Sphere
+        Sphere, smooth_union
 
     scene = Scene()
     rng = np.random.RandomState(7)
     for i in range(n_spheres):
         c = (float(i % 6 - 2.5), float(i // 6 - 2.0),
              4.0 + float(rng.rand()))
-        scene.add(Sphere(center=c, radius=0.3),
-                  Material.lambert((0.2 + 0.02 * i, 0.5, 0.8)),
+        if kind == "csgpair":
+            # crowd-INELIGIBLE object class (r4 verdict Next #4): a
+            # two-leaf smooth-union tree per object — stays on the
+            # statically-unrolled path regardless of vector_objects
+            node = smooth_union(
+                Sphere(center=c, radius=0.3),
+                Sphere(center=(c[0] + 0.2, c[1], c[2]), radius=0.22),
+                0.15)
+        else:
+            node = Sphere(center=c, radius=0.3)
+        scene.add(node, Material.lambert((0.2 + 0.02 * i, 0.5, 0.8)),
                   engine="sdf")
     scene.add(Plane(normal=(0.0, 1.0, 0.0), offset=-2.5),
               Material.lambert((0.5, 0.5, 0.5)))
@@ -62,7 +71,8 @@ def scene_n(n_spheres: int):
     return scene, cam
 
 
-def measure(n: int, vector_objects: bool, repeats: int = 3):
+def measure(n: int, vector_objects: bool, repeats: int = 3,
+            kind: str = "sphere"):
     import jax
     import jax.numpy as jnp
     from surfjax.core.types import RenderSettings
@@ -72,7 +82,7 @@ def measure(n: int, vector_objects: bool, repeats: int = 3):
                               vector_objects=vector_objects)
     if jax.default_backend() == "tpu":
         settings = settings.with_(backend="pallas")
-    scene, cam = scene_n(n)
+    scene, cam = scene_n(n, kind)
     static, params = scene.freeze()
     params = {k: jnp.asarray(v) for k, v in params.items()}
     intr = cam.intrinsics
@@ -98,24 +108,35 @@ def measure(n: int, vector_objects: bool, repeats: int = 3):
 
 def main():
     import jax
-    counts = [int(a) for a in sys.argv[1:]] or [8, 16, 32, 64]
-    print(f"backend: {jax.default_backend()}")
+    kind = "sphere"
+    counts = []
+    for a in sys.argv[1:]:
+        if a.startswith("--scene="):
+            kind = a.split("=", 1)[1]
+        else:
+            counts.append(int(a))
+    counts = counts or [8, 16, 32, 64]
+    print(f"backend: {jax.default_backend()}  scene kind: {kind}")
+    # r5: two-leaf union/smooth-union pairs are crowd-eligible too
+    # (render_tile.split_crowd pair sections), so both kinds measure
+    # both modes
+    modes = (False, True)
     rows = []
     for n in counts:
-        for vec in (False, True):
+        for vec in modes:
             mode = "crowd" if vec else "unrolled"
             try:
-                compile_s, render_s = measure(n, vec)
+                compile_s, render_s = measure(n, vec, kind=kind)
             except Exception as e:  # OOM/Mosaic limits at huge N: record
                 print(f"| objects {n + 1:4d} | {mode:8s} | FAILED: "
                       f"{type(e).__name__}: {str(e)[:120]}")
                 continue
-            rows.append({"objects": n + 1, "mode": mode,
+            rows.append({"objects": n + 1, "mode": mode, "kind": kind,
                          "compile_s": round(compile_s, 2),
                          "render_ms": round(render_s * 1e3, 2)})
             print(f"| objects {n + 1:4d} | {mode:8s} "
                   f"| compile {compile_s:7.2f} s "
-                  f"| render {render_s * 1e3:8.2f} ms |")
+                  f"| render {render_s * 1e3:8.2f} ms |", flush=True)
     print(json.dumps(rows))
 
 

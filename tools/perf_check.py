@@ -38,7 +38,10 @@ HIST = os.path.join(_ROOT, "benchmarks", "history.jsonl")
 # oracle-trajectory mode (LoDs 0 + over_relax=1.0, bench.py docstring);
 # old history rows keep their extra field harmlessly
 HEADLINE_KEYS = ("value", "value_exact")
-AUX_WORKLOADS = ("c2", "c4_fixture", "c4_config")
+# r5 adds the two surfaces the r4 verdict flagged as ungated (Next #7):
+# the crowd path (65-object vector_objects scene) and the c5 128-frame
+# on-device sequence (the fused KF sequence kernel path)
+AUX_WORKLOADS = ("c2", "c4_fixture", "c4_config", "crowd64", "c5_seq")
 
 
 def _load_history():
@@ -80,10 +83,87 @@ def _run_aux(name: str):
         sc, cam, st, _ = load_config(
             os.path.join(_ROOT, "configs", "c4_mesh.yaml"))
         row = bench_scene(sc, cam, st, 1, "c4 CONFIG mesh (8192 tris) 1080p")
+    elif name == "crowd64":
+        # same scene as tools/compile_scaling.scene_n(64) — NOT imported
+        # from there (that module force-disables the compile cache at
+        # import, which this gate wants ON)
+        import numpy as np
+        from surfjax.api import (Camera, Material, Plane, PointLight,
+                                 Scene, Sphere)
+        from surfjax.core.types import RenderSettings
+        sc = Scene()
+        rng = np.random.RandomState(7)
+        for i in range(64):
+            c = (float(i % 6 - 2.5), float(i // 6 - 2.0),
+                 4.0 + float(rng.rand()))
+            sc.add(Sphere(center=c, radius=0.3),
+                   Material.lambert((0.2 + 0.02 * i, 0.5, 0.8)),
+                   engine="sdf")
+        sc.add(Plane(normal=(0.0, 1.0, 0.0), offset=-2.5),
+               Material.lambert((0.5, 0.5, 0.5)))
+        sc.add_light(PointLight(position=(3.0, 5.0, -1.0),
+                                color=(1.0, 1.0, 1.0)))
+        cam = Camera.pinhole(256, 256, 45.0, position=(0.0, 0.0, -2.0),
+                             target=(0.0, 0.0, 4.0))
+        st = RenderSettings(shadows=True, max_steps=96,
+                            vector_objects=True)
+        row = bench_scene(sc, cam, st, 1, "crowd 65 objects 256^2")
+    elif name == "c5_seq":
+        row = _bench_c5_sequence()
     else:
         raise ValueError(name)
     row["workload"] = name
     return row
+
+
+def _bench_c5_sequence(frames: int = 128, repeats: int = 3):
+    """c5's 128-frame on-device orbit through the REAL sequence path
+    (pipeline.render_sequence -> fused KF sequence kernel for this
+    mesh-free scene) — the surface BASELINE.json:11 names."""
+    import time
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from surfjax.config import load_config
+    from surfjax.core.camera import orbit_pose
+    from surfjax.pipeline.frame import render_sequence
+
+    scene, cam, settings, extras = load_config(
+        os.path.join(_ROOT, "configs", "c5_anim.yaml"))
+    if jax.default_backend() == "tpu":
+        settings = settings.with_(backend="pallas")
+    anim = extras.get("animation") or {}
+    center = np.asarray(anim.get("center", (0, 0, 0)), np.float32)
+    Rs, ts = [], []
+    for i in range(frames):
+        th = np.float32(2.0 * np.pi * i / frames)
+        R, t = orbit_pose(jnp.float32(anim.get("radius", 4.0)),
+                          jnp.float32(anim.get("height", -1.0)), th)
+        Rs.append(np.asarray(R, np.float32).reshape(9))
+        ts.append(np.asarray(t, np.float32) + center)
+    poses = (np.stack(Rs), np.stack(ts))
+
+    fb = render_sequence(scene, cam, poses, settings)
+    hits = float(fb.hit.sum()) / frames
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        fb = render_sequence(scene, cam, poses, settings)
+        float(fb.rgb.mean())  # sync through the relay
+        times.append(time.perf_counter() - t0)
+    dt = float(np.min(times)) / frames
+    intr = cam.intrinsics
+    primary = float(intr.width * intr.height)
+    shadow = hits * len(scene.lights) if settings.shadows else 0.0
+    rays = primary + shadow
+    return {
+        "config": f"c5 sequence {frames}f 256^2 (fused KF path)",
+        "resolution": [intr.width, intr.height],
+        "frame_ms": round(dt * 1000, 2),
+        "fps": round(1.0 / dt, 2),
+        "mrays_per_s": round(rays / dt / 1e6, 1),
+        "rays_per_frame": int(rays),
+    }
 
 
 def main():
