@@ -18,20 +18,23 @@ location is ``<repo>/.jax_cache/<fingerprint>`` (gitignored) — kept
 inside the repo deliberately: this environment must not write outside
 it.
 
-Why the ``<fingerprint>`` subdirectory (r5, found the hard way): the
-repo — and so this cache — is shared with the driver/judge containers,
-whose XLA stack compiles XLA:CPU executables with target-machine
-features this host's loader doesn't know (``+prefer-no-scatter``/
-``+prefer-no-gather``), and **JAX's cache key does not include XLA:CPU
-target machine features**. Loading those foreign AOT entries produced
-an order-dependent test-suite SIGSEGV (inside a later
-``backend_compile_and_load``) and a reproducible 1-pixel numeric
-mismatch in ``test_kernel_matches_twin_config3`` (cpu_aot_loader.cc
-warns "could lead to execution errors such as SIGILL"). Scoping the
-cache by a fingerprint of (machine CPU flags, jax/jaxlib version +
-install path, XLA_FLAGS, JAX_PLATFORMS, axon relay env) makes
-cross-context loads structurally impossible while keeping same-context
-replays (the 387.6 s -> 13.0 s relay win runs in one context).
+Why the ``<fingerprint>`` subdirectory (r5): the repo — and so this
+cache — is shared with the driver/judge containers, and **JAX's cache
+key does not include XLA:CPU target machine features**, so an entry
+compiled by a different jaxlib or on a different-featured host would
+be deserialized here blind. Scoping the cache by a fingerprint of
+(machine CPU flags, jax/jaxlib version + install path, XLA_FLAGS,
+JAX_PLATFORMS, axon relay env) makes cross-context loads structurally
+impossible while keeping same-context replays (the 387.6 s -> 13.0 s
+relay win runs in one context). NOTE an initial r5 mis-diagnosis, for
+the record: ``cpu_aot_loader.cc`` warns about
+``+prefer-no-scatter/+prefer-no-gather`` target features on EVERY
+load, including entries this same host wrote hours earlier — this
+jaxlib appends those LLVM tuning features at compile time and the
+loader's feature check mis-flags them; the warning is cosmetic, and
+the r5 suite SIGSEGV was in-process executable accumulation (fixed in
+tests/conftest.py via per-module ``jax.clear_caches()``), not foreign
+cache entries (docs/ROUND5.md §8a).
 
 Env knob: ``SURFJAX_COMPILE_CACHE`` — a directory path overrides the
 default root (the fingerprint subdir still applies); ``0``/``off``/

@@ -102,6 +102,13 @@ def main():
     R = 64
 
     scene, camera, settings, _ = load_config(config)
+    if len(sys.argv) > 5:
+        # bench.py's value_exact mode marches at over_relax=1.0 — the
+        # achieved-side roofline capture must use the same trajectory
+        # settings the headline discloses (r5): pass 1.0 here for it
+        settings = settings.with_(over_relax=float(sys.argv[5]))
+    print(f"settings: over_relax={settings.over_relax} lod={lod} "
+          f"bulb_iter={settings.bulb_iter}")
     intr = camera.intrinsics
     fov = 2.0 * float(np.degrees(np.arctan(0.5 * intr.height / intr.fy)))
     camera = Camera(Intrinsics.from_fov(width, height, fov),

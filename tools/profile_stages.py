@@ -82,7 +82,11 @@ def main():
         pos0[None, :] + np.float32(1e-4) * np.arange(
             n_frames, dtype=np.float32)[:, None])
 
-    exact = settings.with_(secondary_lod_iters=0, ao_lod_iters=0)
+    # bench.py's value_exact mode: LoDs 0 + over_relax 1.0 (the
+    # oracle-trajectory settings) — the roofline's achieved side must be
+    # captured at the same settings the headline discloses (r5)
+    exact = settings.with_(secondary_lod_iters=0, ao_lod_iters=0,
+                           over_relax=1.0)
     # (label, settings, key whose time the delta is taken against)
     variants = [
         ("primary only", settings.with_(shadows=False, ao=False), None),
