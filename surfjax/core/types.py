@@ -139,9 +139,10 @@ class RenderSettings:
     # Vectorized object loop for LARGE scenes (r3 verdict Weak #4): with
     # the flag on, single-leaf positively-signed sphere/box objects of
     # the SDF AND analytic engines, PLUS (r5) SDF two-leaf PAIRS — tape
-    # exactly union/smooth_union(leaf0, leaf1) with positive sphere/box
-    # leaves (the repeated-structure CSG class, whose unrolled compile
-    # measured 89.8 s at 65 objects / 222.6 s at 129,
+    # exactly op(leaf0, leaf1) for ANY of the six binary CSG ops
+    # (union/intersect/subtract + smooth forms) with positive
+    # sphere/box leaves (the repeated-structure CSG class, whose
+    # unrolled compile measured 89.8 s at 65 objects / 222.6 s at 129,
     # tools/compile_scaling.py --scene=csgpair) — form the "crowd":
     # traced/shaded by lax.fori_loops whose bodies read each member's
     # parameters dynamically (SMEM scalar reads) — SDF members march,

@@ -757,12 +757,13 @@ def split_crowd(static, settings):
 
     Crowd-eligible: single positive sphere/box leaf on the SDF OR the
     analytic engine, plus (r5) SDF two-leaf PAIRS — tape exactly
-    op(leaf0, leaf1), op in {union, smooth_union}, both leaves positive
-    sphere/box (planes, bulbs, deeper CSG tapes, intersect/subtract
-    pairs, analytic pairs, meshes stay unrolled). The crowd forms only
-    with vector_objects on and >= 2 eligible members (below that the
-    unrolled path compiles fast and identically)."""
-    from surfjax.api import OP_LEAF, OP_SMOOTH_UNION, OP_UNION
+    op(leaf0, leaf1) for ANY of the six binary CSG ops (union/
+    intersect/subtract and their smooth forms), both leaves positive
+    sphere/box (planes, bulbs, deeper CSG tapes, analytic pairs, meshes
+    stay unrolled). The crowd forms only with vector_objects on and
+    >= 2 eligible members (below that the unrolled path compiles fast
+    and identically)."""
+    from surfjax.api import OP_LEAF
     from surfjax.core.scene_compile import LEAF_BOX, LEAF_SPHERE
     analytic, sdf_objs, _ = _split(static)
     if not settings.vector_objects:
@@ -778,15 +779,24 @@ def split_crowd(static, settings):
         else None."""
         if len(oir.nodes) != 3 or len(oir.leaves) != 2:
             return None
+        from surfjax.api import OP_SMOOTH_SUBTRACT, OP_SUBTRACT
         n0, n1, n2 = oir.nodes
         if not (n0.op == OP_LEAF and n1.op == OP_LEAF
-                and n2.op in (OP_UNION, OP_SMOOTH_UNION)
-                and n2.a == 0 and n2.b == 1):
+                and n2.op != OP_LEAF and n2.a == 0 and n2.b == 1):
             return None
         l0, l1 = oir.leaves
         for lf in (l0, l1):
-            if lf.sign <= 0 or lf.kind not in (LEAF_SPHERE, LEAF_BOX):
+            if lf.kind not in (LEAF_SPHERE, LEAF_BOX):
                 return None
+        # leaf signs are orientation parity from scene_compile's walk():
+        # +1 everywhere except the subtracted operand (-1). eval_sdf
+        # negates the subtract operand explicitly (the sign field only
+        # orients ANALYTIC normals, unused on the SDF/FD path), so the
+        # op-implied parity is the eligible shape; anything else is an
+        # unexpected tape — stay unrolled.
+        sub = n2.op in (OP_SUBTRACT, OP_SMOOTH_SUBTRACT)
+        if l0.sign <= 0 or (l1.sign > 0) == sub:
+            return None
         return (l0.kind == LEAF_SPHERE, l1.kind == LEAF_SPHERE, n2.op)
 
     def pick(objs, allow_pairs):
@@ -881,31 +891,50 @@ def _crowd_member_pair(crowd_refs, j):
 def _crowd_pair_sdf(prm0, is_s0, prm1, is_s1, op, k):
     """Pair member SDF op(leaf0, leaf1) — the EXACT arithmetic and
     association of engines.sdf.eval_sdf's tape for this 3-node object,
-    so pair-crowd geometry stays bitwise-equal to the unrolled path."""
-    from surfjax.api import OP_UNION
+    so pair-crowd geometry stays bitwise-equal to the unrolled path.
+    All six binary CSG ops (r5; hard ops never read k)."""
+    from surfjax.api import (OP_INTERSECT, OP_SMOOTH_INTERSECT,
+                             OP_SMOOTH_SUBTRACT, OP_SMOOTH_UNION,
+                             OP_SUBTRACT, OP_UNION)
     from surfjax.core.math import mix, saturate
     f0 = _crowd_leaf_sdf(prm0, is_s0)
     f1 = _crowd_leaf_sdf(prm1, is_s1)
     if op == OP_UNION:
         return lambda p: jnp.minimum(f0(p), f1(p))
+    if op == OP_INTERSECT:
+        return lambda p: jnp.maximum(f0(p), f1(p))
+    if op == OP_SUBTRACT:
+        return lambda p: jnp.maximum(f0(p), -f1(p))
 
-    def f(p):  # OP_SMOOTH_UNION (Quilez polynomial form, as eval_sdf)
+    def f(p):  # smooth ops (Quilez polynomial forms, as eval_sdf)
         a = f0(p)
         b = f1(p)
-        h = saturate(F32(0.5) + F32(0.5) * (b - a) / k)
-        return mix(b, a, h) - k * h * (F32(1.0) - h)
+        if op == OP_SMOOTH_UNION:
+            h = saturate(F32(0.5) + F32(0.5) * (b - a) / k)
+            return mix(b, a, h) - k * h * (F32(1.0) - h)
+        if op == OP_SMOOTH_INTERSECT:
+            h = saturate(F32(0.5) - F32(0.5) * (b - a) / k)
+            return mix(b, a, h) + k * h * (F32(1.0) - h)
+        # OP_SMOOTH_SUBTRACT
+        h = saturate(F32(0.5) - F32(0.5) * (b + a) / k)
+        return mix(a, -b, h) + k * h * (F32(1.0) - h)
     return f
 
 
 def _crowd_pair_bound(prm0, is_s0, prm1, is_s1, op, k):
     """Pair bounding sphere — the EXACT arithmetic of _object_bound for
-    a two-leaf tape (mean center; max leaf reach; + k/4 smooth margin),
-    so bound entries/clips match the unrolled path bitwise. Sphere/box
-    leaf bounds are simultaneously covers and pointwise lower bounds,
-    and smooth-min >= min - k/4, so R + k/4 keeps BOTH properties for
-    the pair (hard union: pslot < 0 in the tape -> no margin, matching
-    _object_bound's pslot >= 0 filter)."""
-    from surfjax.api import OP_SMOOTH_UNION
+    a two-leaf tape (mean center; max leaf reach; + k/4 margin for any
+    smooth op = the pslot >= 0 filter), so bound entries/clips match
+    the unrolled path bitwise. Both bound properties hold for all six
+    ops: COVER — every op's surface lies inside the union of the two
+    leaf solids' closures, which the ball contains (R reaches past both
+    leaf balls); POINTWISE LOWER BOUND — union = min(a,b) >= the ball's
+    SDF (the ball contains both leaf balls), intersect/subtract
+    max(a,+-b) >= a >= ball, smooth_union >= min - k/4, smooth_intersect
+    >= max >= a, and smooth_subtract(a,b) >= a (the blend-band excess
+    is exactly k*h^2 >= 0, endpoints a and -b >= a+k); the k/4 margin
+    only loosens the last three further."""
+    from surfjax.api import _SMOOTH_OPS
     b0 = _crowd_bound(prm0, is_s0)
     b1 = _crowd_bound(prm1, is_s1)
     cx = (b0[0] + b1[0]) * F32(0.5)
@@ -916,7 +945,7 @@ def _crowd_pair_bound(prm0, is_s0, prm1, is_s1, op, k):
         dx, dy, dz = bx - cx, by - cy, bz - cz
         rr = jnp.sqrt((dx * dx + dy * dy) + dz * dz) + br
         R = rr if R is None else jnp.maximum(R, rr)
-    if op == OP_SMOOTH_UNION:
+    if op in _SMOOTH_OPS:
         # _object_bound: k_margin = F32(0.0) + k * F32(0.25); the
         # leading exact zero is a no-op on normal k
         R = R + k * F32(0.25)

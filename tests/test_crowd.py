@@ -302,6 +302,13 @@ def test_crowd_sequence_matches_frames():
     from surfjax.core.camera import orbit_pose
 
     scene, cam, s = _crowd_scene(n_spheres=5, n_boxes=2, shadows=True)
+    # a pair member too: the sequence (KF sequence form) must run the
+    # r5 pair sections identically to the per-frame kernel
+    from surfjax import smooth_union
+    scene.add(smooth_union(Sphere(center=(0.6, 0.9, 3.4), radius=0.22),
+                           Sphere(center=(0.85, 0.9, 3.4), radius=0.18),
+                           0.12),
+              Material.lambert(albedo=(0.4, 0.7, 0.4)), engine="sdf")
     thetas = jnp.linspace(0.0, 0.5, 3)
     Rs, ts = jax.vmap(lambda th: orbit_pose(jnp.float32(3.5),
                                             jnp.float32(0.8), th))(thetas)
@@ -323,10 +330,12 @@ def test_crowd_sequence_matches_frames():
 # ---------------------------------------------------------------------------
 
 def _pair_scene(n_pairs=6, n_singles=3, soft=False, ao=False,
-                with_union=True, with_plane=True):
-    """Mixed crowd: smooth-union pairs (varying k), one hard-union pair,
-    single spheres, a bulb (stays unrolled), a floor plane."""
-    from surfjax import Mandelbulb, smooth_union, union
+                with_union=True, with_plane=True, all_ops=False):
+    """Mixed crowd: smooth-union pairs (varying k) — or, with all_ops,
+    a rotation through ALL six binary CSG ops (r5) — one hard-union
+    pair, single spheres, a bulb (stays unrolled), a floor plane."""
+    from surfjax import (Mandelbulb, intersect, smooth_intersect,
+                         smooth_subtract, smooth_union, subtract, union)
     rng = np.random.default_rng(11)
     scene = Scene()
     mats = [Material.lambert(albedo=(0.7, 0.4, 0.3)),
@@ -342,8 +351,26 @@ def _pair_scene(n_pairs=6, n_singles=3, soft=False, ao=False,
             b = Box(center=(c[0] + 0.2, c[1] + 0.1, c[2]),
                     half_extents=tuple(
                         float(x) for x in rng.uniform(0.08, 0.2, 3)))
-        scene.add(smooth_union(a, b, float(rng.uniform(0.08, 0.25))),
-                  mats[k % 2], engine="sdf")
+        kk = float(rng.uniform(0.08, 0.25))
+        if all_ops:
+            # intersect/subtract need overlap to leave a surface: keep
+            # b's center inside a for those ops
+            ops = [lambda a, b: union(a, b),
+                   lambda a, b: intersect(a, Sphere(
+                       center=(c[0] + 0.1, c[1], c[2]), radius=0.22)),
+                   lambda a, b: subtract(a, Sphere(
+                       center=(c[0] + 0.12, c[1] + 0.08, c[2]),
+                       radius=0.15)),
+                   lambda a, b: smooth_union(a, b, kk),
+                   lambda a, b: smooth_intersect(a, Sphere(
+                       center=(c[0] + 0.1, c[1], c[2]), radius=0.22), kk),
+                   lambda a, b: smooth_subtract(a, Sphere(
+                       center=(c[0] + 0.12, c[1] + 0.08, c[2]),
+                       radius=0.15), kk)]
+            node = ops[k % 6](a, b)
+        else:
+            node = smooth_union(a, b, kk)
+        scene.add(node, mats[k % 2], engine="sdf")
     if with_union:
         scene.add(union(Sphere(center=(1.3, 1.2, 3.0), radius=0.2),
                         Sphere(center=(1.55, 1.2, 3.0), radius=0.18)),
@@ -398,19 +425,88 @@ def test_pair_crowd_vs_golden():
     assert np.quantile(d, 0.99) < 5e-3, np.quantile(d, 0.99)
 
 
-def test_pair_ineligible_ops_stay_unrolled():
-    from surfjax import smooth_subtract, subtract
+class TestPairCrowdAllOps:
+    def test_all_six_ops_join_the_crowd(self):
+        # non-vacuity guard: all six ops must actually be CROWD members
+        # (a rejected spec silently falls back to unrolled-vs-unrolled,
+        # which would pass the bitwise checks without testing anything)
+        from surfjax.kernels.render_tile import split_crowd
+        scene, cam, s = _pair_scene(n_pairs=6, ao=False, all_ops=True)
+        static, _ = scene.freeze()
+        crowd, _, rest_sdf = split_crowd(
+            static, s.with_(vector_objects=True))
+        assert crowd is not None
+        ops = {spec[2] for spec in crowd.pair_specs}
+        assert len(ops) == 6, crowd.pair_specs
+        # only the bulb stays unrolled
+        assert len(rest_sdf) == 1
+
+    def test_all_six_ops_bitwise(self):
+        scene, cam, s = _pair_scene(n_pairs=6, ao=True, all_ops=True)
+        fb_unrolled = render(scene, cam, s)
+        fb_crowd = render(scene, cam, s.with_(vector_objects=True))
+        assert np.asarray(fb_crowd.hit).mean() > 0.2
+        _assert_bitwise(fb_unrolled, fb_crowd)
+
+    def test_all_six_ops_soft_shadows(self):
+        scene, cam, s = _pair_scene(n_pairs=6, soft=True, all_ops=True)
+        fb_unrolled = render(scene, cam, s)
+        fb_crowd = render(scene, cam, s.with_(vector_objects=True))
+        _assert_bitwise(fb_unrolled, fb_crowd)
+
+    def test_all_ops_vs_golden(self):
+        scene, cam, s = _pair_scene(n_pairs=6, n_singles=1, ao=False,
+                                    all_ops=True)
+        fb = render(scene, cam, s.with_(vector_objects=True))
+        g = golden.render_parallel(scene, cam, s)
+        assert (np.asarray(fb.hit) == g["hit"]).mean() > 0.999
+        d = np.abs(np.asarray(fb.rgb) - g["rgb"])
+        assert np.quantile(d, 0.99) < 5e-3, np.quantile(d, 0.99)
+
+    def test_subtract_carves(self):
+        # the subtracted region must actually be carved (the crowd pair
+        # SDF uses -leaf1): a ray at the carve center hits DEEPER than
+        # the plain leaf0 sphere would
+        from surfjax import subtract
+        scene = Scene()
+        scene.add(subtract(Sphere(center=(0.0, 0.0, 3.0), radius=0.5),
+                           Sphere(center=(0.0, 0.0, 2.6), radius=0.3)),
+                  Material.lambert(), engine="sdf")
+        scene.add(Sphere(center=(2.0, 0.0, 3.0), radius=0.3),
+                  Material.lambert(), engine="sdf")
+        cam = Camera.pinhole(64, 64, fov_y_deg=40.0,
+                             position=(0.0, 0.0, 0.0),
+                             target=(0.0, 0.0, 3.0))
+        s = RenderSettings(backend="pallas", tile_rows=8, max_steps=96,
+                           vector_objects=True)
+        fb = render(scene, cam, s)
+        center_depth = float(np.asarray(fb.depth)[32, 32])
+        assert center_depth > 2.6, center_depth  # sphere face was 2.5
+
+
+def test_pair_ineligible_shapes_stay_unrolled():
+    """Deeper tapes, reversed operand order, and analytic pairs stay
+    unrolled (subtract PAIRS are eligible since the r5 all-ops
+    extension)."""
+    from surfjax import subtract, union
     from surfjax.kernels.render_tile import split_crowd
     scene = Scene()
-    scene.add(subtract(Sphere(center=(0, 0, 3), radius=0.4),
-                       Sphere(center=(0.2, 0, 3), radius=0.3)),
-              Material.lambert(), engine="sdf")
-    scene.add(Sphere(center=(1, 0, 3), radius=0.3), Material.lambert(),
-              engine="sdf")
-    scene.add(Sphere(center=(-1, 0, 3), radius=0.3), Material.lambert(),
+    scene.add(union(subtract(Sphere(center=(0, 0, 3), radius=0.4),
+                             Sphere(center=(0.2, 0, 3), radius=0.3)),
+                    Sphere(center=(0.5, 0, 3), radius=0.2)),
+              Material.lambert(), engine="sdf")  # 3-leaf tape: unrolled
+    scene.add(subtract(Sphere(center=(1, 0, 3), radius=0.3),
+                       Sphere(center=(1.1, 0, 3), radius=0.2)),
+              Material.lambert(), engine="sdf")  # pair: eligible (r5)
+    scene.add(union(Sphere(center=(-1, 0, 3), radius=0.3),
+                    Sphere(center=(-0.8, 0, 3), radius=0.2)),
+              Material.lambert())  # ANALYTIC pair: unrolled
+    scene.add(Sphere(center=(0, 1, 3), radius=0.3), Material.lambert(),
               engine="sdf")
     static, _ = scene.freeze()
-    crowd, _, rest_sdf = split_crowd(
+    crowd, rest_ana, rest_sdf = split_crowd(
         static, RenderSettings(vector_objects=True))
-    assert crowd is not None and not crowd.pair_specs
+    assert crowd is not None
+    assert len(crowd.pair_specs) == 1
     assert {i for i, _ in rest_sdf} == {0}
+    assert {i for i, _ in rest_ana} == {2}

@@ -187,14 +187,24 @@ def _rand_crowd_scene(rng):
         else:
             obj = Box(center=c, half_extents=tuple(
                 float(x) for x in rng.uniform(0.1, 0.3, 3)))
-        # SDF two-leaf pairs are crowd-eligible since r5
+        # SDF two-leaf pairs are crowd-eligible since r5 (all six
+        # binary ops as of the all-ops extension)
         if rng.random() < 0.3:
+            from surfjax import smooth_intersect, smooth_subtract
             b = Sphere(center=(c[0] + 0.2, c[1], c[2]),
                        radius=float(rng.uniform(0.1, 0.25)))
-            if rng.random() < 0.5:
-                obj = smooth_union(obj, b, float(rng.uniform(0.08, 0.3)))
-            else:
-                obj = union(obj, b)
+            kk = float(rng.uniform(0.08, 0.3))
+            ops = [lambda: union(obj, b),
+                   lambda: smooth_union(obj, b, kk),
+                   lambda: intersect(obj, Sphere(
+                       center=(c[0] + 0.08, c[1], c[2]), radius=0.3)),
+                   lambda: subtract(obj, Sphere(
+                       center=(c[0] + 0.1, c[1], c[2]), radius=0.12)),
+                   lambda: smooth_intersect(obj, Sphere(
+                       center=(c[0] + 0.08, c[1], c[2]), radius=0.3), kk),
+                   lambda: smooth_subtract(obj, Sphere(
+                       center=(c[0] + 0.1, c[1], c[2]), radius=0.12), kk)]
+            obj = ops[int(rng.integers(0, 6))]()
             scene.add(obj, mats[k % 3], engine="sdf")
             continue
         # members come from BOTH engines (analytic single-leaf

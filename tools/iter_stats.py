@@ -229,8 +229,11 @@ def main():
         # march_unroll trips past the last step with an active lane; the
         # rounded-in extra steps evaluate every lane at the park point
         # (1 needed iteration); each step's DE runs in de_unroll quanta.
-        exec_cost = 0.0
-        if tile_max_needed:
+        def exec_model(du: int) -> float:
+            """Executed iteration-lanes at DE_UNROLL=du (march trips
+            fixed at march_unroll) from the per-(step, tile) trace."""
+            if not tile_max_needed:
+                return 0.0
             needed = np.stack(tile_max_needed)          # (S, n_tiles)
             active = np.stack(tile_any_active)          # (S, n_tiles)
             S = needed.shape[0]
@@ -240,18 +243,22 @@ def main():
                 np.ceil((last + 1) / march_unroll) * march_unroll, steps)
             step_idx = np.arange(S)[:, None]
             executed = step_idx < n_steps_exec[None, :]
-            # steps past `last` (parked) still run one de_unroll trip
-            de_iters = np.ceil(np.maximum(needed, 1.0) / de_unroll) \
-                * de_unroll
-            de_iters = np.where(active, de_iters, float(de_unroll))
-            exec_cost = float((de_iters * executed).sum()) * R * LANES
+            # steps past `last` (parked) still run one de-trip
+            de_iters = np.ceil(np.maximum(needed, 1.0) / du) * du
+            de_iters = np.where(active, de_iters, float(du))
+            cost = float((de_iters * executed).sum()) * R * LANES
             # trailing full-park steps beyond the simulated S (a tile
             # whose last active step was S-1 still completes its trip)
             tail = np.maximum(n_steps_exec - S, 0.0)
-            exec_cost += float(tail.sum()) * de_unroll * R * LANES
+            cost += float(tail.sum()) * du * R * LANES
+            return cost
+
+        exec_cost = exec_model(de_unroll)
+        exec_cost8 = exec_model(8)
         print(f"{name:18s} current {cur_cost/1e6:9.1f}M iter-lanes | "
               f"executed(u{march_unroll}/u{de_unroll}) "
               f"{exec_cost/1e6:9.1f}M | "
+              f"executed(u{march_unroll}/u8) {exec_cost8/1e6:9.1f}M | "
               f"flat {flat_cost/1e6:9.1f}M (x{OVERHEAD} flops) | "
               f"lane-sum {lane_iters/1e6:9.1f}M | "
               f"projected fused speedup {proj:0.2f}x")
