@@ -44,6 +44,9 @@ STEPS = [
                       "--check", "configs/c3_sdf_std.yaml"]),
     ("vpupeak", [sys.executable, "tools/vpu_peak.py"]),
     ("opparity", [sys.executable, "tools/op_parity.py", "--json"]),
+    # crowd/vector_objects contract on the real Mosaic backend (the CI
+    # bitwise tests run interpret mode only) — r5, all pair sections
+    ("crowdparity", [sys.executable, "tools/crowd_parity.py"]),
     ("scaling", [sys.executable, "tools/compile_scaling.py",
                  "8", "32", "64", "128"]),
 ]
