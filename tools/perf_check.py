@@ -126,10 +126,13 @@ def _run_aux(name: str):
     return row
 
 
-def _bench_c5_sequence(frames: int = 128, repeats: int = 3):
+def _bench_c5_sequence(frames: int = 128, repeats: int = 6):
     """c5's 128-frame on-device orbit through the REAL sequence path
     (pipeline.render_sequence -> fused KF sequence kernel for this
-    mesh-free scene) — the surface BASELINE.json:11 names."""
+    mesh-free scene) — the surface BASELINE.json:11 names. repeats=6:
+    the row's min swung 274.8 -> 334.4 (+-10%) between solo same-binary
+    runs at repeats=3 — right at the 10% gate; more repeats converge
+    the min-estimator (a real regression still trips)."""
     import time
     import jax
     import jax.numpy as jnp
